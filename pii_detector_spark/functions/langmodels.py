@@ -1,0 +1,191 @@
+"""Deterministic language-ID + perplexity model artifacts.
+
+The north star calls for fastText-style language ID (CCNet) and KenLM-style
+perplexity scoring (see PAPERS.md). No model downloads are possible in this
+environment, so both are small, real models built deterministically at
+import time from an embedded seed corpus — the public *method* (character
+n-gram profiles for langid, Cavnar & Trenkle 1994 / fastText's char-ngram
+features; smoothed n-gram LM perplexity, CCNet §3.2) with in-repo data.
+
+Both the Spark pandas-UDF operator and the test oracle call these exact
+functions, so scores are bit-identical by construction; the oracle
+independently reimplements the *decision* layers (rules, masks, scrub).
+
+Scale note: the profile dicts are tiny (<100 KB) and are shipped to
+executors via closure capture + lazy module import — the same broadcast
+pattern as the regex battery.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from functools import lru_cache
+
+# digits are sparsity bombs for char n-grams; both models normalize them to
+# '0' at train and score time (CCNet applies the same trick via SentencePiece
+# number bucketing)
+_DIGITS = re.compile(r"\d")
+
+# ~10 seed sentences per language, written for trigram coverage of common
+# function words. en profile doubles as the perplexity LM training corpus.
+SEED_CORPUS: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "it was the best of times and it was the worst of times for all of us",
+        "she said that they would have been there if the weather had been better",
+        "a government of the people by the people and for the people shall not perish",
+        "there are many things in life that we cannot explain with simple words",
+        "the company reported strong growth in the first quarter of this year",
+        "children often ask questions about the world and how things work",
+        "we should always try to be kind to other people and to ourselves",
+        "the history of science is full of surprising discoveries and mistakes",
+        "please read the instructions carefully before you start the machine",
+        "most of the houses in the old town were built more than a century ago",
+        "he walked slowly through the quiet streets thinking about the future",
+        "call us at 000 000-0000 or visit room 000 before 00:00 on 0000-00-00",
+        "contact john at jsmith@example.com with your account number 0000 0000",
+        "the order total was 00.00 dollars including 0.00 tax on 00/00/0000",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt über den faulen hund am fluss",
+        "es war einmal ein kleines mädchen das in einem großen wald wohnte",
+        "die regierung hat heute neue maßnahmen für die wirtschaft beschlossen",
+        "wir sollten immer versuchen freundlich zu anderen menschen zu sein",
+        "die geschichte der wissenschaft ist voller überraschender entdeckungen",
+        "bitte lesen sie die anweisungen sorgfältig bevor sie die maschine starten",
+        "die meisten häuser in der altstadt wurden vor über hundert jahren gebaut",
+        "er ging langsam durch die ruhigen straßen und dachte an die zukunft",
+        "kinder stellen oft fragen über die welt und wie die dinge funktionieren",
+        "das unternehmen meldete ein starkes wachstum im ersten quartal des jahres",
+    ],
+    "fr": [
+        "le renard brun rapide saute par dessus le chien paresseux près de la rivière",
+        "il était une fois une petite fille qui vivait dans une grande forêt",
+        "le gouvernement a annoncé aujourd'hui de nouvelles mesures pour l'économie",
+        "nous devrions toujours essayer d'être gentils avec les autres personnes",
+        "l'histoire de la science est pleine de découvertes surprenantes",
+        "veuillez lire attentivement les instructions avant de démarrer la machine",
+        "la plupart des maisons de la vieille ville ont été construites il y a un siècle",
+        "il marchait lentement dans les rues calmes en pensant à l'avenir",
+        "les enfants posent souvent des questions sur le monde et son fonctionnement",
+        "l'entreprise a annoncé une forte croissance au premier trimestre de l'année",
+    ],
+    "es": [
+        "el rápido zorro marrón salta sobre el perro perezoso cerca del río",
+        "había una vez una niña pequeña que vivía en un gran bosque",
+        "el gobierno anunció hoy nuevas medidas para la economía del país",
+        "siempre deberíamos intentar ser amables con las demás personas",
+        "la historia de la ciencia está llena de descubrimientos sorprendentes",
+        "por favor lea las instrucciones cuidadosamente antes de encender la máquina",
+        "la mayoría de las casas del casco antiguo fueron construidas hace más de un siglo",
+        "caminaba lentamente por las calles tranquilas pensando en el futuro",
+        "los niños hacen muchas preguntas sobre el mundo y cómo funcionan las cosas",
+        "la empresa reportó un fuerte crecimiento en el primer trimestre del año",
+    ],
+    "ru": [
+        "быстрая коричневая лиса прыгает через ленивую собаку у реки",
+        "жила была маленькая девочка которая жила в большом лесу",
+        "правительство сегодня объявило о новых мерах для экономики страны",
+        "мы всегда должны стараться быть добрыми к другим людям",
+        "история науки полна удивительных открытий и ошибок",
+        "пожалуйста внимательно прочитайте инструкцию перед запуском машины",
+        "большинство домов в старом городе были построены более ста лет назад",
+        "он медленно шел по тихим улицам думая о будущем",
+        "дети часто задают вопросы о мире и о том как все устроено",
+        "компания сообщила о сильном росте в первом квартале этого года",
+    ],
+}
+
+LANGS: tuple[str, ...] = tuple(sorted(SEED_CORPUS))
+
+_MAX_DOC_CHARS = 2000  # score at most this many chars per doc (CCNet-style cap)
+
+
+def _trigrams(s: str):
+    s = " " + _DIGITS.sub("0", s.lower()) + " "
+    for i in range(len(s) - 2):
+        yield s[i : i + 3]
+
+
+@lru_cache(maxsize=1)
+def langid_profiles() -> dict[str, dict[str, float]]:
+    """Per-language char-trigram log-prob profiles (add-one smoothed)."""
+    profiles: dict[str, dict[str, float]] = {}
+    for lang, sentences in SEED_CORPUS.items():
+        counts: dict[str, int] = {}
+        total = 0
+        for s in sentences:
+            for tri in _trigrams(s):
+                counts[tri] = counts.get(tri, 0) + 1
+                total += 1
+        vocab = len(counts) + 1
+        denom = math.log(total + vocab)
+        profiles[lang] = {t: math.log(c + 1) - denom for t, c in counts.items()}
+        # unseen-trigram floor, stored under a key no trigram can collide with
+        profiles[lang]["\x00floor"] = -denom
+    return profiles
+
+
+def predict_lang(text: str) -> str:
+    """argmax language by mean trigram log-prob; 'unk' for tiny docs."""
+    if not text:
+        return "unk"
+    tris = []
+    for tri in _trigrams(text[:_MAX_DOC_CHARS]):
+        tris.append(tri)
+    if len(tris) < 5:
+        return "unk"
+    profiles = langid_profiles()
+    best_lang, best_score = "unk", -math.inf
+    for lang in LANGS:
+        prof = profiles[lang]
+        floor = prof["\x00floor"]
+        score = 0.0
+        for tri in tris:
+            score += prof.get(tri, floor)
+        if score > best_score:
+            best_score = score
+            best_lang = lang
+    return best_lang
+
+
+@lru_cache(maxsize=1)
+def _bigram_lm() -> tuple[dict[str, float], dict[str, float], float]:
+    """Char-bigram LM over the English seed corpus (add-one smoothing).
+
+    Returns (bigram log-probs, per-context floor log-probs, global floor).
+    """
+    bi: dict[str, int] = {}
+    uni: dict[str, int] = {}
+    for s in SEED_CORPUS["en"]:
+        s = " " + _DIGITS.sub("0", s.lower()) + " "
+        for i in range(len(s) - 1):
+            uni[s[i]] = uni.get(s[i], 0) + 1
+            bi[s[i : i + 2]] = bi.get(s[i : i + 2], 0) + 1
+    alphabet = len(uni) + 1
+    logp = {
+        pair: math.log(c + 1) - math.log(uni[pair[0]] + alphabet)
+        for pair, c in bi.items()
+    }
+    floors = {c: -math.log(n + alphabet) for c, n in uni.items()}
+    global_floor = -math.log(alphabet)
+    return logp, floors, global_floor
+
+
+def perplexity(text: str) -> float:
+    """Char-bigram perplexity of the doc vs the English seed LM."""
+    if not text or len(text) < 2:
+        return float("inf")
+    logp, floors, global_floor = _bigram_lm()
+    s = _DIGITS.sub("0", text[:_MAX_DOC_CHARS].lower())
+    total = 0.0
+    n = 0
+    for i in range(len(s) - 1):
+        pair = s[i : i + 2]
+        lp = logp.get(pair)
+        if lp is None:
+            lp = floors.get(pair[0], global_floor)
+        total += lp
+        n += 1
+    return math.exp(-total / n)

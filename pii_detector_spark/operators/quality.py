@@ -1,0 +1,193 @@
+"""Gopher/C4-style heuristic quality rules — pure Spark built-in expressions.
+
+Every metric here stays JVM-side (whole-stage codegen, no Python), which is
+the scale-critical property: at 100 TB these run at scan speed. Only langid
+and perplexity (model lookups, ``operators/langid.py``) need pandas UDFs.
+
+Tokenization spec shared with the test oracle (``tests/oracle.py``):
+* words  = text split on ASCII whitespace ``[ \\t\\n\\r\\f\\x0B]+``, empties
+  dropped (Java and Python regex agree on this explicit class; bare ``\\s``
+  differs between the two and is avoided).
+* lines  = text split on ``\\n``, empties dropped. The pipeline computes
+  quality on extraction-normalized text (``textnorm.normalize_text``), so
+  lines are pre-stripped and contain no ``\\r``/``\\t``.
+
+Rule order is fixed (config.DROP_REASONS); the first failing rule is the
+document's drop_reason — applied identically by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pii_detector_spark.config import QualityThresholds
+from pii_detector_spark.functions.toxicity import TOXIC_WORDS
+
+WS_CLASS = "[ \\t\\n\\r\\f\\u000B]+"
+
+# C4-style English stopword probe set (shared with oracle)
+STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "a", "in", "that", "have", "i", "it", "with",
+)
+
+BULLET_PREFIXES: tuple[str, ...] = ("- ", "* ", "• ")
+ELLIPSIS_SUFFIXES: tuple[str, ...] = ("...", "…")
+
+
+def _count_occurrences(col: Column, token: str) -> Column:
+    """Non-overlapping occurrence count via length difference (matches
+    Python ``str.count``)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(token), F.lit(""))))
+        / len(token)
+    ).cast("long")
+
+
+def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the heuristic metric columns (all JVM expressions)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, WS_CLASS), lambda w: w != F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda ln: ln != F.lit(""))
+
+    df = (
+        df.withColumn("_words", words)
+        .withColumn("_lines", lines)
+        .withColumn("n_words", F.size("_words").cast("long"))
+        .withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn("n_chars", F.length(text).cast("long"))
+    )
+    nw = F.col("n_words")
+    nl = F.col("n_lines")
+
+    char_sum = F.aggregate(
+        "_words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+
+    df = (
+        df.withColumn(
+            "mean_word_len",
+            F.when(nw > 0, char_sum / nw).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.when(
+                nw > 0,
+                (
+                    _count_occurrences(text, "#")
+                    + _count_occurrences(text, "…")
+                    + _count_occurrences(text, "...")
+                )
+                / nw,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "bullet_line_frac",
+            F.when(
+                nl > 0,
+                F.size(
+                    F.filter(
+                        "_lines",
+                        lambda ln: F.reduce(
+                            F.array(*[F.lit(p) for p in BULLET_PREFIXES]),
+                            F.lit(False),
+                            lambda acc, p: acc | F.startswith(ln, p),
+                        ),
+                    )
+                )
+                / nl,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            F.when(
+                nl > 0,
+                F.size(
+                    F.filter(
+                        "_lines",
+                        lambda ln: F.endswith(ln, F.lit("..."))
+                        | F.endswith(ln, F.lit("…")),
+                    )
+                )
+                / nl,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.when(
+                nw > 0,
+                F.size(F.filter("_words", lambda w: w.rlike(r"\p{L}"))) / nw,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.when(
+                nl > 0,
+                F.lit(1.0) - F.size(F.array_distinct("_lines")) / nl,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_hits",
+            F.size(
+                F.array_intersect(
+                    F.transform("_words", F.lower),
+                    F.array(*[F.lit(s) for s in STOPWORDS]),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "has_toxic_word",
+            F.arrays_overlap(
+                F.transform("_words", F.lower),
+                F.array(*[F.lit(w) for w in TOXIC_WORDS]),
+            ),
+        )
+        .drop("_words", "_lines")
+    )
+    return df
+
+
+def with_keep_decision(
+    df: DataFrame, thresholds: QualityThresholds
+) -> DataFrame:
+    """First-failing-rule drop_reason + keep flag.
+
+    Requires the metric columns plus ``lang_pred`` and ``perplexity``
+    (from ``operators/langid.py``).
+    """
+    t = thresholds
+    nw = F.col("n_words")
+    reason = (
+        F.when(nw == 0, F.lit("empty"))
+        .when(nw < t.min_words, F.lit("too_short"))
+        .when(nw > t.max_words, F.lit("too_long"))
+        .when(
+            (F.col("mean_word_len") < t.min_mean_word_len)
+            | (F.col("mean_word_len") > t.max_mean_word_len),
+            F.lit("word_length"),
+        )
+        .when(F.col("symbol_ratio") > t.max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(
+            F.col("bullet_line_frac") > t.max_bullet_line_frac,
+            F.lit("bullet_lines"),
+        )
+        .when(
+            F.col("ellipsis_line_frac") > t.max_ellipsis_line_frac,
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            F.col("alpha_word_frac") < t.min_alpha_word_frac, F.lit("low_alpha")
+        )
+        .when(F.col("dup_line_frac") > t.max_dup_line_frac, F.lit("repetition"))
+        .when(
+            ~F.col("lang_pred").isin(*t.allowed_langs), F.lit("language")
+        )
+        .when(
+            F.col("stopword_hits") < t.min_stopword_hits, F.lit("stopwords")
+        )
+        .when(F.col("perplexity") > t.max_perplexity, F.lit("perplexity"))
+        .when(F.col("has_toxic_word"), F.lit("toxicity"))
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

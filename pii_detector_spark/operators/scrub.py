@@ -1,0 +1,259 @@
+"""PII/credential detection + scrub — the engine's core operator.
+
+Reference behavior reproduced (see SURVEY.md §2.3):
+
+* one detection pass over the 28-category battery (``patterns.ALL_PATTERNS``)
+  — the Spark-first analogue of the reference's Hyperscan/RE2/re cascade
+  (``app/services/data_analysis_service.py:50-66``), with patterns compiled
+  once per executor process instead of once per chunk
+  (fixes ``worker_tasks/multiprocessing_tasks.py:34``).
+* credential false-positive suppression on the matched span
+  (``app/services/hyperscan_service.py:57-60``).
+* finding post-processing: region tag, SHA-384 hash, mask, default score
+  0.8, custom-vs-system flag (``data_analysis_service.py:197-226``).
+* PHI flag over url + content (``data_analysis_service.py:86-100``).
+
+Deterministic scrub spec (the reference masks only the extracted values; the
+north rule additionally requires a scrubbed *document*):
+
+1. Collect all matches of every category, in canonical category order.
+2. Sort candidates by (start asc, span length desc, category index asc).
+3. Greedily keep candidates that do not overlap an already-kept span
+   (mirrors Hyperscan's longest-match-per-(id,start) dedup at
+   ``hyperscan_service.py:62``, generalized across categories).
+4. Replace each kept span with ``mask_value(category, span)``.
+
+Findings are emitted for **all** matches (the reference emits every engine
+match, overlapping or not); the non-overlap selection governs only the
+rewritten text. Finding ids are deterministic: ``sha384(url|start|end|cat)``
+prefixes instead of the reference's ``uuid4`` (reproducibility).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pii_detector_spark.functions.masking import (
+    DEFAULT_SCORE,
+    hash_value,
+    is_custom_entity,
+    mask_value,
+    region_of,
+)
+from pii_detector_spark.patterns import (
+    compiled_battery,
+    compiled_phi,
+    compiled_secret_exclude,
+)
+
+# (category_index, name, start, end, value)
+Match = tuple[int, str, int, int, str]
+
+
+def detect(text: str) -> list[Match]:
+    """All battery matches in canonical category order."""
+    if not text:
+        return []
+    out: list[Match] = []
+    lowered = text.lower()
+    exclude = compiled_secret_exclude()
+    for idx, (spec, rx) in enumerate(compiled_battery()):
+        if spec.guards and not any(g in lowered for g in spec.guards):
+            continue
+        is_cred = spec.kind == "credential"
+        for m in rx.finditer(text):
+            value = m.group()
+            if not value:
+                continue
+            if is_cred and exclude.search(value):
+                continue
+            out.append((idx, spec.name, m.start(), m.end(), value))
+    return out
+
+
+def select_scrub_spans(matches: list[Match]) -> list[Match]:
+    """Non-overlapping span selection: start asc, longest first, category
+    order as tie-break."""
+    chosen: list[Match] = []
+    last_end = -1
+    for m in sorted(matches, key=lambda m: (m[2], -(m[3] - m[2]), m[0])):
+        if m[2] >= last_end:
+            chosen.append(m)
+            last_end = m[3]
+    return chosen
+
+
+def scrub_text(text: str, matches: list[Match] | None = None) -> str:
+    """Rewrite text with every selected span replaced by its masked form."""
+    if not text:
+        return text
+    if matches is None:
+        matches = detect(text)
+    spans = select_scrub_spans(matches)
+    if not spans:
+        return text
+    parts: list[str] = []
+    pos = 0
+    for _, name, start, end, value in spans:
+        parts.append(text[pos:start])
+        parts.append(mask_value(name, value))
+        pos = end
+    parts.append(text[pos:])
+    return "".join(parts)
+
+
+def build_findings(url: str, matches: list[Match]) -> list[dict]:
+    """Reference FileData records (``app/schemas/file_data.py:96-122``)."""
+    recs = []
+    for _, name, start, end, value in matches:
+        recs.append(
+            {
+                "id": hash_value(f"{url}|{start}|{end}|{name}")[:32],
+                "pii_type": name,
+                "pii_region": region_of(name),
+                "score": DEFAULT_SCORE,
+                "is_custom_regex": is_custom_entity(name),
+                "pii_hash": hash_value(value),
+                "pii_data": mask_value(name, value),
+                "start": start,
+                "end": end,
+            }
+        )
+    return recs
+
+
+def is_phi(url: str, text: str) -> bool:
+    rx = compiled_phi()
+    return bool(rx.search(url or "") or rx.search(text or ""))
+
+
+FINDING_TYPE = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("pii_type", StringType()),
+        StructField("pii_region", StringType()),
+        StructField("score", DoubleType()),
+        StructField("is_custom_regex", BooleanType()),
+        StructField("pii_hash", StringType()),
+        StructField("pii_data", StringType()),
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+    ]
+)
+
+SCRUB_RESULT_TYPE = StructType(
+    [
+        StructField("scrubbed_text", StringType()),
+        StructField("findings", ArrayType(FINDING_TYPE)),
+        StructField("is_phi", BooleanType()),
+    ]
+)
+
+
+def _scrub_batch(urls: pd.Series, texts: pd.Series) -> pd.DataFrame:
+    scrubbed: list[str] = []
+    findings: list[list[dict]] = []
+    phi: list[bool] = []
+    for url, text in zip(urls, texts):
+        t = text or ""
+        matches = detect(t)
+        scrubbed.append(scrub_text(t, matches))
+        findings.append(build_findings(url or "", matches))
+        phi.append(is_phi(url or "", t))
+    return pd.DataFrame(
+        {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
+    )
+
+
+# Arrow-batched scalar pandas UDF: the battery compiles lazily once per
+# executor (lru_cache in patterns.py); each Arrow batch is one call.
+scrub_udf = F.pandas_udf(_scrub_batch, returnType=SCRUB_RESULT_TYPE)
+
+
+def _scrub_batch_if(
+    urls: pd.Series, texts: pd.Series, keeps: pd.Series
+) -> pd.DataFrame:
+    """Gated variant: skip documents the quality gate already dropped.
+
+    One pass over the data instead of a filter→scrub→union re-scan; at
+    100 TB re-reading the corpus to stitch kept/dropped rows back together
+    would double the scan, so the gate rides inside the same Arrow batch.
+    """
+    scrubbed: list[str | None] = []
+    findings: list[list[dict] | None] = []
+    phi: list[bool] = []
+    for url, text, keep in zip(urls, texts, keeps):
+        t = text or ""
+        if not keep:
+            scrubbed.append(None)
+            findings.append(None)
+            phi.append(is_phi(url or "", t))
+            continue
+        matches = detect(t)
+        scrubbed.append(scrub_text(t, matches))
+        findings.append(build_findings(url or "", matches))
+        phi.append(is_phi(url or "", t))
+    return pd.DataFrame(
+        {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
+    )
+
+
+scrub_if_kept_udf = F.pandas_udf(_scrub_batch_if, returnType=SCRUB_RESULT_TYPE)
+
+
+def with_gated_scrub(
+    df, url_col: str = "url", text_col: str = "text", keep_col: str = "keep"
+):
+    """Scrub only kept documents (single-pass; dropped rows get nulls)."""
+    res = scrub_if_kept_udf(F.col(url_col), F.col(text_col), F.col(keep_col))
+    return (
+        df.withColumn("_scrub", res)
+        .withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
+        .withColumn("findings", F.col("_scrub.findings"))
+        .withColumn("is_phi", F.col("_scrub.is_phi"))
+        .drop("_scrub")
+    )
+
+
+def with_scrub(df, url_col: str = "url", text_col: str = "text"):
+    """Attach scrubbed_text / findings / is_phi columns to a documents df."""
+    res = scrub_udf(F.col(url_col), F.col(text_col))
+    return (
+        df.withColumn("_scrub", res)
+        .withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
+        .withColumn("findings", F.col("_scrub.findings"))
+        .withColumn("is_phi", F.col("_scrub.is_phi"))
+        .drop("_scrub")
+    )
+
+
+def findings_table(df, url_col: str = "url"):
+    """Explode per-document findings into the flat findings table
+    (reference sink K1 shape, ``base_scan_service.py:930-941``)."""
+    return df.select(
+        F.col(url_col).alias("url"), F.explode("findings").alias("f")
+    ).select(
+        "url",
+        F.col("f.id").alias("finding_id"),
+        F.col("f.pii_type").alias("pii_type"),
+        F.col("f.pii_region").alias("pii_region"),
+        F.col("f.score").alias("score"),
+        F.col("f.is_custom_regex").alias("is_custom_regex"),
+        F.col("f.pii_hash").alias("pii_hash"),
+        F.col("f.pii_data").alias("pii_masked"),
+        F.col("f.start").alias("start"),
+        F.col("f.end").alias("end"),
+    )

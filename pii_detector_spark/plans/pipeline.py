@@ -1,0 +1,164 @@
+"""End-to-end quality-filter + scrub pipeline (the reference's §3.1 scan job
+as one declarative DataFrame plan).
+
+Stage order and the reasoning at 100 TB:
+
+1. scan + pre-filters        — predicates push into the parquet/Iceberg scan
+2. resume anti-join          — broadcast; removes already-SCANNED urls
+3. text extraction (UDF)     — runs inside the scan stage at split
+                               granularity; no shuffle of html bytes
+4. drop(html)                — the wide binary column never crosses a stage
+                               boundary
+5. quality metrics           — JVM built-ins, whole-stage codegen
+6. langid + perplexity (UDF) — Arrow batches, models cached per executor
+7. keep/drop decision        — JVM `when` chain
+8. gated scrub (UDF)         — detection battery only on kept docs
+9. sinks                     — docs parquet written in the SAME single pass
+                               (findings ride along as an array column);
+                               findings/lineage/metrics derive from a cheap
+                               columnar re-read of the docs output, so the
+                               UDF stages run exactly once per document.
+
+The only wide exchanges in the job are the metrics aggregations over the
+(tiny) per-partition counters.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pii_detector_spark.config import DEFAULT_CONFIG, EngineConfig
+from pii_detector_spark.operators.langid import with_langid
+from pii_detector_spark.operators.quality import (
+    with_keep_decision,
+    with_quality_metrics,
+)
+from pii_detector_spark.operators.scrub import findings_table, with_gated_scrub
+from pii_detector_spark.plans import checkpoint
+from pii_detector_spark.sources.web_pages import (
+    apply_prefilters,
+    read_web_pages,
+    with_extracted_text,
+)
+
+DOC_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "lang_pred",
+    "perplexity",
+    "n_words",
+    "n_lines",
+    "n_chars",
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "dup_line_frac",
+    "stopword_hits",
+    "has_toxic_word",
+    "keep",
+    "drop_reason",
+    "is_phi",
+    "scrubbed_text",
+    "n_findings",
+    "content_md5",
+]
+
+
+def transform_web_pages(
+    df: DataFrame,
+    config: EngineConfig = DEFAULT_CONFIG,
+    extract_html: bool = True,
+    prefilter: bool = True,
+) -> DataFrame:
+    """The full logical plan, scan → scrub, as a reusable transformation."""
+    if prefilter:
+        df = apply_prefilters(df)
+    if extract_html:
+        df = with_extracted_text(df)
+    df = df.drop("html")
+    df = with_quality_metrics(df)
+    df = with_langid(df)
+    df = with_keep_decision(df, config.quality)
+    df = with_gated_scrub(df)
+    return df.withColumn(
+        "n_findings",
+        F.when(F.col("findings").isNotNull(), F.size("findings"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).withColumn("content_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+
+
+@dataclass
+class PipelineResult:
+    docs_path: str
+    findings_path: str
+    lineage_path: str
+    metrics_path: str
+    docs_written: int
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    run_id: str = "run-0",
+    resume: bool = True,
+    extract_html: bool = True,
+) -> PipelineResult:
+    """Batch scan job with checkpoint-resume; rerunning after a partial or
+    complete prior run processes only not-yet-SCANNED urls (idempotent)."""
+    raw = apply_prefilters(read_web_pages(spark, input_path))
+    pending = raw
+    if resume:
+        lineage = checkpoint.read_lineage(spark, output_dir)
+        pending = checkpoint.anti_join_completed(
+            raw, lineage, config.pattern_version
+        )
+
+    docs = transform_web_pages(
+        pending, config, extract_html=extract_html, prefilter=False
+    ).withColumn("run_id", F.lit(run_id))
+
+    docs_path = os.path.join(output_dir, "docs")
+    findings_path = os.path.join(output_dir, "findings")
+
+    # single computation pass → docs parquet (findings array rides along)
+    docs.select("run_id", *DOC_COLUMNS, "findings").write.mode(
+        "append"
+    ).parquet(docs_path)
+
+    # everything downstream reads the columnar output back — no UDF re-run
+    this_run = spark.read.parquet(docs_path).filter(F.col("run_id") == run_id)
+
+    findings = findings_table(
+        this_run.filter(F.col("findings").isNotNull()).select("url", "findings")
+    ).withColumn("run_id", F.lit(run_id))
+    findings.write.mode("append").parquet(findings_path)
+
+    checkpoint.build_lineage(
+        this_run, config.pattern_version, run_id
+    ).write.mode("append").parquet(checkpoint.lineage_path(output_dir))
+
+    all_findings = spark.read.parquet(findings_path).filter(
+        F.col("run_id") == run_id
+    )
+    checkpoint.build_metrics(this_run, all_findings, run_id).write.mode(
+        "append"
+    ).parquet(checkpoint.metrics_path(output_dir))
+
+    n = this_run.count()
+    return PipelineResult(
+        docs_path=docs_path,
+        findings_path=findings_path,
+        lineage_path=checkpoint.lineage_path(output_dir),
+        metrics_path=checkpoint.metrics_path(output_dir),
+        docs_written=n,
+    )
