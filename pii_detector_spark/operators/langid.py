@@ -37,7 +37,11 @@ def _langid_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lang_pred": langs, "perplexity": ppls})
 
 
-langid_udf = F.pandas_udf(_langid_batch, returnType=LANG_RESULT_TYPE)
+# nondeterministic marker keeps the UDF as its own projection layer (see
+# sources/web_pages.py); the function is pure
+langid_udf = F.pandas_udf(
+    _langid_batch, returnType=LANG_RESULT_TYPE
+).asNondeterministic()
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:

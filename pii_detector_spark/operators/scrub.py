@@ -180,7 +180,9 @@ def _scrub_batch(urls: pd.Series, texts: pd.Series) -> pd.DataFrame:
 
 # Arrow-batched scalar pandas UDF: the battery compiles lazily once per
 # executor (lru_cache in patterns.py); each Arrow batch is one call.
-scrub_udf = F.pandas_udf(_scrub_batch, returnType=SCRUB_RESULT_TYPE)
+scrub_udf = F.pandas_udf(
+    _scrub_batch, returnType=SCRUB_RESULT_TYPE
+).asNondeterministic()
 
 
 def _scrub_batch_if(
@@ -211,7 +213,9 @@ def _scrub_batch_if(
     )
 
 
-scrub_if_kept_udf = F.pandas_udf(_scrub_batch_if, returnType=SCRUB_RESULT_TYPE)
+scrub_if_kept_udf = F.pandas_udf(
+    _scrub_batch_if, returnType=SCRUB_RESULT_TYPE
+).asNondeterministic()
 
 
 def with_gated_scrub(

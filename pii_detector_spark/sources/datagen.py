@@ -153,7 +153,7 @@ def _make_doc(rng: random.Random, cls: str) -> tuple[str, str]:
         words = ["pneumonoultramicroscopic" + _chars(rng, "aeiou", 4) for _ in range(60)]
         return " ".join(words), "junk"
     if cls == "low_alpha":
-        words = [str(rng.randint(0, 99)) for _ in range(80)]
+        words = [str(rng.randint(1000, 999999)) for _ in range(80)]
         return " ".join(words), "junk"
     if cls in ("de", "fr", "es", "ru"):
         sents = [rng.choice(SEED_CORPUS[cls]) for _ in range(rng.randint(7, 12))]

@@ -65,20 +65,30 @@ def apply_prefilters(df: DataFrame, max_html_bytes: int = MAX_HTML_BYTES) -> Dat
     )
 
 
-def _extract_batch(htmls: pd.Series) -> pd.Series:
+def _extract_batch(htmls: pd.Series, fallback: pd.Series) -> pd.Series:
+    # null-html fallback lives inside the UDF so the plan column is a plain
+    # attribute, not a CASE WHEN wrapping a PythonUDF (which Catalyst would
+    # inline into every downstream consumer expression)
     return pd.Series(
-        [extract_text_from_html(h) for h in htmls], dtype="object"
+        [
+            extract_text_from_html(h) if h is not None else (t or "")
+            for h, t in zip(htmls, fallback)
+        ],
+        dtype="object",
     )
 
 
-extract_text_udf = F.pandas_udf(_extract_batch, returnType=StringType())
+# nondeterministic marker: stops CollapseProject from duplicating the UDF
+# into consumer expressions; the function itself is pure
+extract_text_udf = F.pandas_udf(
+    _extract_batch, returnType=StringType()
+).asNondeterministic()
 
 
 def with_extracted_text(df: DataFrame, out_col: str = "text") -> DataFrame:
     """Replace/attach ``text`` with the deterministic extraction from
     ``html`` (reference text-extraction stage, file_service.py:353-422).
     Falls back to the existing text column when html is null."""
-    extracted = F.when(
-        F.col("html").isNotNull(), extract_text_udf(F.col("html"))
-    ).otherwise(F.col("text"))
-    return df.withColumn(out_col, extracted)
+    return df.withColumn(
+        out_col, extract_text_udf(F.col("html"), F.col("text"))
+    )

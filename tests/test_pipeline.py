@@ -1,0 +1,166 @@
+"""End-to-end pipeline vs oracle: keep/drop F1, byte-identical scrubbed
+text, drop-reason agreement, metrics/lineage integrity, checkpoint resume
+idempotence. This is the BASELINE.md correctness gate."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from pii_detector_spark.plans.pipeline import run_pipeline, transform_web_pages
+from pii_detector_spark.sources.web_pages import read_web_pages
+from tests.oracle import oracle_decide
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, corpus_path, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_out"))
+    res = run_pipeline(spark, corpus_path, out, run_id="t1")
+    return res
+
+
+@pytest.fixture(scope="module")
+def engine_rows(spark, pipeline_out):
+    docs = spark.read.parquet(pipeline_out.docs_path)
+    return {r["url"]: r.asDict() for r in docs.collect()}
+
+
+@pytest.fixture(scope="module")
+def oracle_rows(corpus_path):
+    table = pq.read_table(corpus_path, columns=["url", "text"]).to_pylist()
+    # same pre-filters the engine applies (blocklist/log urls never scanned)
+    import re
+
+    from pii_detector_spark.sources.web_pages import BLOCKED_EXT_RX, LOG_PATH_RX
+
+    blocked = re.compile(BLOCKED_EXT_RX)
+    logrx = re.compile(LOG_PATH_RX)
+    out = {}
+    for row in table:
+        if blocked.search(row["url"]) or logrx.search(row["url"]):
+            continue
+        out[row["url"]] = oracle_decide(row["url"], row["text"])
+    return out
+
+
+def test_same_url_set(engine_rows, oracle_rows):
+    assert set(engine_rows) == set(oracle_rows)
+
+
+def test_keep_drop_f1(engine_rows, oracle_rows):
+    tp = fp = fn = 0
+    for url, odoc in oracle_rows.items():
+        e = engine_rows[url]["keep"]
+        o = odoc.keep
+        if e and o:
+            tp += 1
+        elif e and not o:
+            fp += 1
+        elif o and not e:
+            fn += 1
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, (f1, fp, fn)
+
+
+def test_drop_reasons_agree(engine_rows, oracle_rows):
+    mismatches = [
+        (u, engine_rows[u]["drop_reason"], o.drop_reason)
+        for u, o in oracle_rows.items()
+        if engine_rows[u]["drop_reason"] != o.drop_reason
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_scrubbed_text_byte_identical(engine_rows, oracle_rows):
+    diffs = []
+    for url, odoc in oracle_rows.items():
+        if engine_rows[url]["scrubbed_text"] != odoc.scrubbed_text:
+            diffs.append(url)
+    assert not diffs, diffs[:5]
+
+
+def test_lang_pred_and_phi_agree(engine_rows, oracle_rows):
+    for url, odoc in oracle_rows.items():
+        assert engine_rows[url]["lang_pred"] == odoc.lang_pred, url
+        assert engine_rows[url]["is_phi"] == odoc.is_phi, url
+
+
+def test_findings_match_oracle(spark, pipeline_out, oracle_rows):
+    eng = spark.read.parquet(pipeline_out.findings_path).collect()
+    by_url: dict[str, list] = {}
+    for r in eng:
+        by_url.setdefault(r["url"], []).append(r.asDict())
+    for url, odoc in oracle_rows.items():
+        if not odoc.keep:
+            assert url not in by_url
+            continue
+        got = sorted(
+            (f["pii_type"], f["start"], f["end"], f["pii_hash"], f["pii_masked"])
+            for f in by_url.get(url, [])
+        )
+        want = sorted(
+            (f["pii_type"], f["start"], f["end"], f["pii_hash"], f["pii_masked"])
+            for f in odoc.findings
+        )
+        assert got == want, url
+
+
+def test_metrics_totals(spark, pipeline_out, engine_rows):
+    m = spark.read.parquet(pipeline_out.metrics_path)
+    agg = m.groupBy().sum("docs_scanned", "docs_kept").collect()[0]
+    assert agg[0] == len(engine_rows)
+    assert agg[1] == sum(1 for r in engine_rows.values() if r["keep"])
+
+
+def test_every_drop_reason_class_present(engine_rows):
+    reasons = {r["drop_reason"] for r in engine_rows.values() if r["drop_reason"]}
+    expected = {
+        "too_short",
+        "word_length",
+        "symbol_ratio",
+        "bullet_lines",
+        "ellipsis_lines",
+        "low_alpha",
+        "repetition",
+        "language",
+        "toxicity",
+    }
+    assert expected <= reasons, expected - reasons
+
+
+def test_resume_is_idempotent(spark, corpus_path, pipeline_out):
+    """Second run over the same input writes zero new docs."""
+    res2 = run_pipeline(
+        spark, corpus_path, os.path.dirname(pipeline_out.docs_path), run_id="t2"
+    )
+    assert res2.docs_written == 0
+
+
+def test_resume_after_partial_run(spark, corpus_path, tmp_path_factory):
+    """Kill-and-rerun: half the corpus first, then the whole thing; the
+    final docs table equals one fresh full run (set-of-urls + keep flags)."""
+    import pyarrow.parquet as pq_
+
+    out = str(tmp_path_factory.mktemp("resume_out"))
+    half_dir = tmp_path_factory.mktemp("half")
+    t = pq_.read_table(corpus_path)
+    pq_.write_table(t.slice(0, t.num_rows // 2), str(half_dir / "half.parquet"))
+
+    run_pipeline(spark, str(half_dir / "half.parquet"), out, run_id="p1")
+    run_pipeline(spark, corpus_path, out, run_id="p2")
+
+    fresh_out = str(tmp_path_factory.mktemp("fresh_out"))
+    run_pipeline(spark, corpus_path, fresh_out, run_id="f1")
+
+    a = {
+        (r["url"], r["keep"], r["scrubbed_text"])
+        for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    b = {
+        (r["url"], r["keep"], r["scrubbed_text"])
+        for r in spark.read.parquet(os.path.join(fresh_out, "docs")).collect()
+    }
+    assert a == b
