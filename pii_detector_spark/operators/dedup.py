@@ -1,0 +1,240 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash functions are md5 hex strings (identical in Spark and DuckDB), so
+every operator here is oracle-checkable cross-engine. Lexicographic MIN over
+md5 hex == a valid minwise hash family (one permutation per seed prefix).
+
+Scale notes per operator:
+
+* exact_dedup      — one shuffle on the 32-char digest; partial agg makes
+                     the hot side tiny.
+* shingle/minhash  — pure per-row expressions (no shuffle) until the band
+                     join; signatures are k×32 bytes per doc, not the text.
+* LSH band join    — self-join on (band_id, band_key); key cardinality ≈
+                     corpus size × bands, uniform by construction (md5), so
+                     no skew; AQE handles residual imbalance.
+* ngram-jaccard    — explode + equi-join on shingle hash; the candidate
+                     generator is bounded by shared-shingle frequency: a
+                     stopword-only shingle would explode the join, so
+                     shingles use ≥ n words (default 5) which keeps
+                     per-shingle doc lists short on natural text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_col(text_col: str = "text") -> Column:
+    """ASCII-whitespace tokenization, empties dropped (same spec as
+    operators/quality.py and the SQL oracles)."""
+    return F.filter(
+        F.split(F.col(text_col), "[ \\t\\n\\r\\f\\u000B]+"),
+        lambda w: w != F.lit(""),
+    )
+
+
+def shingles_col(n: int, text_col: str = "text") -> Column:
+    """Distinct word n-gram shingles as an array column (no shuffle)."""
+    words = words_col(text_col)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content digest: canonical (min) id + count.
+
+    Reference analogue: the etag/md5 chunk-hash dedup
+    (``base_scan_service.py:233-247,643-731``).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_md5"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature_cols(k: int, shingle_col: str = "shingles") -> list[Column]:
+    """k minwise hashes: min(md5('<seed>:' || shingle)) per seed."""
+    return [
+        F.array_min(
+            F.transform(
+                F.col(shingle_col),
+                lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)),
+            )
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
+
+    Plan shape: per-row signature expressions → explode to (band_key, id)
+    → self equi-join on band → distinct candidate pairs → verify with true
+    Jaccard over shingle sets. Only candidate pairs ever join the (small)
+    shingle arrays back — at 10^12 docs the band join moves signatures, not
+    documents.
+    """
+    rows = bands
+    per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(shingle_n, text_col).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.select("doc_id", "shingles", *minhash_signature_cols(num_hashes))
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * per_band + j}") for j in range(per_band)]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(rows)
+    ]
+    banded = sig.select(
+        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    left = banded.alias("a")
+    right = banded.select("doc_id", "band_id", "band_key").alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sh, "id_b")
+        .withColumn(
+            "intersect_n", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "union_n",
+            F.size("sh_a") + F.size("sh_b") - F.col("intersect_n"),
+        )
+        .withColumn("jaccard", F.col("intersect_n") / F.col("union_n"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (no sketching): candidate pairs
+    from a shared-shingle equi-join, jaccard from per-doc distinct counts."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shingles_col(shingle_n, text_col).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = base.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).withColumn("shingle_md5", F.md5("shingle")).drop("shingle")
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle_md5") == F.col("b.shingle_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared_n") / (F.col("n_a") + F.col("n_b") - F.col("shared_n")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per document (top 4 bits zero), in JVM expressions.
+
+    Token hash = first 15 hex chars of md5 → per-bit ±1 vote summed in one
+    grouped aggregation → sign vector packed into a long. The shuffle moves
+    only (doc_id, 8-byte hash) rows — never text — and the 60 conditional
+    sums are a single aggregation pass (whole-stage codegen).
+    """
+    tok = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(words_col(text_col))).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(60)
+    ]
+    grouped = tok.groupBy("doc_id").agg(*votes)
+    packed = None
+    for i in range(60):
+        term = (
+            F.when(F.col(f"v_{i}") > 0, F.lit(2 ** i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        packed = term if packed is None else packed + term
+    sims = grouped.select("doc_id", packed.alias("simhash"))
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(sims, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )

@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride as opaque ``binary`` payloads with typed metadata — the Spark
+side (schema, Arrow batching, ``mapInPandas`` iterator shape, partition
+sizing) is real and tested; the codec step is stubbed because no
+image/audio libraries exist in this environment:
+
+* ``decode_stub=True`` (default) → a deterministic fake decoder
+  (byte-histogram features) so the full plumbing is exercisable.
+* ``decode_stub=False`` → raises ``NotImplementedError`` at the exact seam
+  where PIL/soundfile/PyAV would plug in.
+
+``mapInPandas`` (not a scalar UDF) because decoders want iterator state
+(codec contexts) and because output rows ≠ input rows for frame sampling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+N_FEATURES = 16
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode + feature extraction: a 16-bin
+    byte histogram, L1-normalized. Replace with a real decoder."""
+    if not payload:
+        return [0.0] * N_FEATURES
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float64)
+    hist /= hist.sum()
+    return [float(x) for x in hist]
+
+
+def extract_media_features(
+    df: DataFrame, decode_stub: bool = True
+) -> DataFrame:
+    """media table → per-item feature rows via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "kind": [],
+                "n_bytes": [],
+                "sha256": [],
+                "features": [],
+            }
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/soundfile/PyAV; "
+                        "not available in this environment"
+                    )
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["n_bytes"].append(len(payload))
+                out["sha256"].append(hashlib.sha256(payload).hexdigest())
+                out["features"].append(_fake_decode_features(payload))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Video → frames explode (1 input row → N output rows). The stub
+    'frame' is a fixed-size byte slice; a real build decodes keyframes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                for i in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return df.filter(df.kind == "video").mapInPandas(run, schema=FRAME_SCHEMA)

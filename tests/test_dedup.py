@@ -1,0 +1,90 @@
+"""Dedup operator tests: constructed corpora with known duplicate structure
+plus sf0.001 documents testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " extra"
+    c = "completely different content about spark partitions and shuffles here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=a),
+            Row(doc_id=2, text=a),          # exact dup of 1
+            Row(doc_id=3, text=b),          # near dup of 1/2
+            Row(doc_id=4, text=c),
+            Row(doc_id=5, text=""),
+        ]
+    )
+
+
+def test_exact_dedup(docs):
+    from pii_detector_spark.operators.dedup import exact_dedup
+
+    out = {r["canonical_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2
+    assert out[3] == 1
+    assert out[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from pii_detector_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, shingle_n=3, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all(4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    from pii_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_similarity(docs):
+    from pii_detector_spark.operators.dedup import simhash64
+
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sims[1] == sims[2]  # identical text → identical simhash
+    # near dup differs in few bits; unrelated differs in many
+    ham_near = bin(sims[1] ^ sims[3]).count("1")
+    ham_far = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_near < ham_far
+    assert sims[5] == 0
+
+
+def test_exact_dedup_on_testdata(spark):
+    from pii_detector_spark.operators.dedup import exact_dedup
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(df)
+    # sf0.001 documents are all distinct
+    assert out.count() == df.count()
+    assert out.agg({"dup_count": "sum"}).collect()[0][0] == df.count()
+
+
+def test_shingles_expression(spark):
+    from pii_detector_spark.operators.dedup import shingles_col
+
+    df = spark.createDataFrame([Row(text="a b c d"), Row(text="a"), Row(text="")])
+    rows = df.select(shingles_col(2).alias("s")).collect()
+    assert sorted(rows[0]["s"]) == ["a b", "b c", "c d"]
+    assert rows[1]["s"] == []
+    assert rows[2]["s"] == []

@@ -1,0 +1,81 @@
+"""Similarity-search operator tests on sf0.001 embeddings + constructed
+vectors with known neighbor structure."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0, 0.0]),   # close to 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        Row(vec_id=4, embedding=[-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+        Row(vec_id=5, embedding=[1.0, 0.01, 0.0, 0.0]),   # near-dup of 1
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_bruteforce_topk(vecs):
+    from pii_detector_spark.operators.similarity import cosine_topk_bruteforce
+
+    q = vecs.filter("vec_id = 1")
+    out = cosine_topk_bruteforce(vecs, q, k=2).collect()
+    ranked = [(r["vec_id"], r["rank"]) for r in out]
+    assert ranked[0] == (5, 1)
+    assert ranked[1] == (2, 2)
+    c = {r["vec_id"]: r["cosine"] for r in out}
+    assert math.isclose(c[5], 1.0, abs_tol=1e-3)
+
+
+def test_bruteforce_on_testdata(spark):
+    from pii_detector_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    out = cosine_topk_bruteforce(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries (vec_id 0,1,2) × 5
+    for r in rows:
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_lsh_bucket_recall(spark):
+    """LSH top-1 should find the true nearest neighbor for most queries
+    (same-bucket probability is high for near-identical vectors)."""
+    from pii_detector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id < 20")
+    exact = {
+        r["query_id"]: r["vec_id"]
+        for r in cosine_topk_bruteforce(emb, q, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["vec_id"]
+        for r in lsh_bucket_topk(emb, q, dim=64, k=1, n_planes=4).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 0.5, (hits, len(exact))
+
+
+def test_embedding_neardup(vecs):
+    from pii_detector_spark.operators.similarity import embedding_neardup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(vecs, dim=4, threshold=0.99).collect()
+    }
+    assert (1, 5) in pairs
+    assert (1, 4) not in pairs
+    assert (1, 3) not in pairs
