@@ -1,38 +1,872 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter + PII-scrub pipeline
+(SURVEY.md §7.2-7.5) over sf0.001 documents mapped into the web_pages input
+shape from BASELINE.json input_hint.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text stats, multimodal plumbing). Every query that is ANSI-SQL-expressible
+has a DuckDB oracle in ``oracle_sql()`` with matching column names/types;
+Python-model operators (langid/perplexity, full regex battery over free
+text) are rows-only here and byte-identical-verified by ``tests/`` against
+the pure-Python oracle instead.
+
+Cross-engine determinism rules used throughout:
+* integers → cast to long/BIGINT on both sides
+* doubles  → computed with identical association order where possible and
+  rounded (2-6 dp) on both sides
+* hashes   → md5/sha256 of identical byte strings (hex, both engines)
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pii_detector_spark.config import QualityThresholds
+from pii_detector_spark.functions.toxicity import TOXIC_WORDS
+from pii_detector_spark.operators import dedup, multimodal, similarity, textstats
+from pii_detector_spark.operators.langid import with_langid
+from pii_detector_spark.operators.quality import (
+    STOPWORDS,
+    with_keep_decision,
+    with_quality_metrics,
+)
+from pii_detector_spark.operators.scrub import with_scrub
+from pii_detector_spark.plans.partitioning import salted_host_counts
+from pii_detector_spark.plans.pipeline import DOC_COLUMNS, transform_web_pages
+
+# ---------------------------------------------------------------------------
+# helpers
+
+# shared whitespace class: Java regex (Spark) / RE2 (DuckDB) spellings of the
+# same character set [ \t\n\r\f\x0B]
+WS_SQL = r"[ \t\n\r\f\x0B]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_web_pages(docs: DataFrame) -> DataFrame:
+    """Map the testdata documents table into the web_pages input shape."""
+    return docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter + scrub plan over sf0.001 documents."""
+    web = _docs_as_web_pages(_t(spark, "/root/testdata/sf0.001", "documents"))
+    out = transform_web_pages(web, extract_html=True, prefilter=True)
+    return out.select(*DOC_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2/2.4/2.5/2.6)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4-style aggregation with a pushed-down scan predicate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F5: broadcast left ANTI join (the reference's already-scanned dedup
+    shape, base_scan_service.py:431-447)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300_000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+    )
+
+
+def q_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 window shape: per-key running sum (sequential fold — bitwise
+    reproducible cross-engine)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+def q_part_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 proper: per-group running budget filter (reference's 300 MB
+    per-extension sampling cap, base_scan_service.py:209-231)."""
+    p = _t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.withColumn("run_spend", F.sum("p_retailprice").over(w))
+        .filter(F.col("run_spend") <= 50_000.0)
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.round("run_spend", 2).alias("run_spend"),
+        )
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: latest-timestamp reduce per key."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max(F.unix_micros("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 trend counters: hourly per-type counts + value sums."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication operators
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        num_hashes=12,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis operators
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_quality_metrics(_t(spark, sf_dir, "documents"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words",
+        "n_lines",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        "stopword_hits",
+        "has_toxic_word",
+    )
+
+
+def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-rule keep/drop (SQL-expressible subset: language/perplexity
+    rules neutralized via stub columns; the full chain is pytest-verified)."""
+    d = with_quality_metrics(_t(spark, sf_dir, "documents"))
+    d = d.withColumn("lang_pred", F.lit("en")).withColumn(
+        "perplexity", F.lit(0.0)
+    )
+    d = with_keep_decision(d, QualityThresholds())
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "keep",
+        F.coalesce("drop_reason", F.lit("none")).alias("drop_reason"),
+    )
+
+
+def q_host_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning demo: salted two-phase aggregation over a skewed host key
+    (north-rule skew defense)."""
+    web = _docs_as_web_pages(_t(spark, sf_dir, "documents"))
+    return salted_host_counts(web, salt_buckets=16).select(
+        "host", F.col("doc_count").cast("long").alias("doc_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / masking / scrub (the engine core) — cross-engine checked on
+# constructed inputs whose expected findings are SQL-derivable
+
+def q_pii_scrub_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real battery + masking over constructed emails; DuckDB reproduces the
+    reference mask semantics (data_analysis_service.py:115-139) in SQL."""
+    c = _t(spark, sf_dir, "customer")
+    docs = c.select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.concat(
+            F.lit("please reach user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@mailhost.example.com for help"),
+        ).alias("text"),
+    )
+    out = with_scrub(docs)
+    return out.select(
+        "url",
+        "scrubbed_text",
+        F.size("findings").cast("long").alias("n_findings"),
+        F.col("findings")[0]["pii_type"].alias("pii_type"),
+        F.col("findings")[0]["pii_region"].alias("pii_region"),
+        F.col("findings")[0]["pii_data"].alias("pii_masked"),
+    )
+
+
+def q_pii_scrub_ssn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real battery + length-tiered SSN masking (reference
+    data_analysis_service.py:140-147) on constructed SSNs."""
+    c = _t(spark, sf_dir, "customer")
+    ssn = F.format_string(
+        "%03d-%02d-%04d",
+        (F.lit(100) + F.col("c_custkey") % 800).cast("int"),
+        (F.lit(10) + F.col("c_custkey") % 89).cast("int"),
+        (F.lit(1000) + F.col("c_custkey") % 9000).cast("int"),
+    )
+    docs = c.select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.concat(F.lit("social security "), ssn, F.lit(" on record")).alias("text"),
+    )
+    out = with_scrub(docs)
+    return out.select(
+        "url",
+        "scrubbed_text",
+        F.size("findings").cast("long").alias("n_findings"),
+        F.col("findings")[0]["pii_type"].alias("pii_type"),
+        F.col("findings")[0]["pii_region"].alias("pii_region"),
+        F.col("findings")[0]["pii_data"].alias("pii_masked"),
+    )
+
+
+def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full battery over the documents corpus (free text path)."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "doc_id"
+    )
+    out = with_scrub(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("findings").cast("long").alias("n_findings"),
+        "is_phi",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + perplexity models (Python artifacts → rows-only)."""
+    d = with_langid(_t(spark, sf_dir, "documents"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    out = similarity.cosine_topk_bruteforce(
+        e, e.filter(F.col("vec_id") < 8), k=3
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    out = similarity.lsh_bucket_topk(
+        e, e.filter(F.col("vec_id") < 8), dim=64, k=3, n_planes=6, n_tables=8
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.embedding_neardup_pairs(
+        _emb(spark, sf_dir), dim=64, threshold=0.4, n_planes=6
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary payload + mapInPandas; codec stubbed)
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = multimodal.extract_media_features(d)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sha256",
+    )
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.repeat("text", 5), "utf-8").alias("payload"),
+    )
+    out = multimodal.sample_frames(d, every_n_bytes=1024, max_frames=8)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("n_frame_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "customers_without_orders": q_customers_without_orders,
+        "order_running_total": q_order_running_total,
+        "part_budget": q_part_budget,
+        "latest_event_per_user": q_latest_event_per_user,
+        "events_hourly": q_events_hourly,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_metrics": q_quality_metrics,
+        "quality_keep": q_quality_keep,
+        "host_doc_counts": q_host_doc_counts,
+        "pii_scrub_email": q_pii_scrub_email,
+        "pii_scrub_ssn": q_pii_scrub_ssn,
+        "scrub_documents": q_scrub_documents,
+        "langid_documents": q_langid_documents,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "frame_sampling": q_frame_sampling,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(text, '" + WS_SQL + "'), w -> w != '')"
+)
+
+
+def _shingles_cte(n: int) -> str:
+    """CTE producing (doc_id, shingles) with distinct word n-grams."""
+    return f"""
+base AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {n}
+                THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                                    i -> array_to_string(w[i:i+{n - 1}], ' '))
+                ELSE []::VARCHAR[] END) AS shingles
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents) t
+), nz AS (SELECT * FROM base WHERE len(shingles) > 0)"""
+
+
+def _minhash_sql(n: int = 3, k: int = 12, bands: int = 4, thr: float = 0.5) -> str:
+    per = k // bands
+    mh = ",\n    ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(k)
+    )
+    band_vals = ", ".join(
+        "({b}, md5({key}))".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * per + j}" for j in range(per)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingles_cte(n).lstrip()},
+sig AS (SELECT doc_id, {mh} FROM nz),
+banded AS (
+  SELECT sig.doc_id, t.band_id, t.band_key
+  FROM sig, LATERAL (VALUES {band_vals}) t(band_id, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i_n,
+         len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles)) AS u_n
+  FROM cand
+  JOIN nz sa ON sa.doc_id = cand.id_a
+  JOIN nz sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i_n::DOUBLE / u_n, 6) AS jaccard
+FROM j WHERE i_n::DOUBLE / u_n >= {thr}"""
+
+
+def _ngram_jaccard_sql(n: int = 3, thr: float = 0.5) -> str:
+    return f"""
+WITH {_shingles_cte(n).lstrip()},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM nz),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         n::DOUBLE / (la.c + lb.c - n) AS jac
+  FROM shared
+  JOIN (SELECT doc_id, len(shingles) c FROM nz) la ON la.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) c FROM nz) lb ON lb.doc_id = id_b
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jac, 6) AS jaccard
+FROM j WHERE jac >= {thr}"""
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) >> {r}) & 1 = 1"
+        " THEN 1 ELSE -1 END) AS v_{i}".format(pos=15 - (i // 4), r=i % 4, i=i)
+        for i in range(60)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(60)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word FROM documents
+),
+t AS (SELECT doc_id, md5(word) AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id),
+p AS (SELECT doc_id, ({packed}) AS simhash FROM v)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(p.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN p USING (doc_id)"""
+
+
+def _plane_signs(table: int, p: int, dim: int) -> list[float]:
+    """Identical derivation to similarity.hyperplane_sign_bits."""
+    return [
+        1.0 if (hashlib.md5(f"{table}:{p}:{d}".encode()).digest()[0] & 1) else -1.0
+        for d in range(dim)
+    ]
+
+
+def _bucket_expr_sql(table: int, dim: int, n_planes: int, vec: str = "v") -> str:
+    terms = []
+    for p in range(n_planes):
+        signs = "[" + ", ".join(str(s) for s in _plane_signs(table, p, dim)) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {signs}) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")::INTEGER"
+
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def _ann_bruteforce_sql(k: int = 3, nq: int = 8) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS vec_id, {_COS_SQL} AS cos
+  FROM e a, e b
+  WHERE b.vec_id < {nq} AND a.vec_id != b.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       round(cos, 5) AS cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= {k}"""
+
+
+def _ann_lsh_sql(dim: int = 64, k: int = 3, n_planes: int = 6,
+                 n_tables: int = 8, nq: int = 8) -> str:
+    buckets = ", ".join(
+        f"({t}, {_bucket_expr_sql(t, dim, n_planes, 'e.v')})" for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT e.vec_id, t.table_id, t.bucket
+  FROM e, LATERAL (VALUES {buckets}) t(table_id, bucket)
+),
+cand AS (
+  SELECT DISTINCT c.vec_id AS vec_id, q.vec_id AS query_id
+  FROM cb c JOIN cb q
+    ON c.table_id = q.table_id AND c.bucket = q.bucket
+  WHERE q.vec_id < {nq} AND c.vec_id != q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {_COS_SQL} AS cos
+  FROM cand
+  JOIN e a ON a.vec_id = cand.vec_id
+  JOIN e b ON b.vec_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       round(cos, 5) AS cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= {k}"""
+
+
+def _neardup_sql(dim: int = 64, thr: float = 0.4, n_planes: int = 6) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, {_bucket_expr_sql(0, dim, n_planes, 'v')} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS cos
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(cos, 5) AS cosine
+FROM p WHERE cos >= {thr}"""
+
+
+def _quality_metrics_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toxic = ", ".join(f"'{w}'" for w in TOXIC_WORDS)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {_WORDS_SQL} AS words,
+         list_filter(string_split(text, chr(10)), x -> x != '') AS lines,
+         length(text)::BIGINT AS n_chars,
+         CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '…', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS n_symbols
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+  len(words)::BIGINT AS n_words,
+  len(lines)::BIGINT AS n_lines,
+  n_chars,
+  round(CASE WHEN len(words) > 0
+    THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+    ELSE 0.0 END, 6) AS mean_word_len,
+  round(CASE WHEN len(words) > 0
+    THEN n_symbols::DOUBLE / len(words) ELSE 0.0 END, 6) AS symbol_ratio,
+  round(CASE WHEN len(lines) > 0
+    THEN len(list_filter(lines, ln -> starts_with(ln, '- ')
+          OR starts_with(ln, '* ') OR starts_with(ln, '• ')))::DOUBLE / len(lines)
+    ELSE 0.0 END, 6) AS bullet_line_frac,
+  round(CASE WHEN len(lines) > 0
+    THEN len(list_filter(lines, ln -> ends_with(ln, '...')
+          OR ends_with(ln, '…')))::DOUBLE / len(lines)
+    ELSE 0.0 END, 6) AS ellipsis_line_frac,
+  round(CASE WHEN len(words) > 0
+    THEN len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}')))::DOUBLE / len(words)
+    ELSE 0.0 END, 6) AS alpha_word_frac,
+  round(CASE WHEN len(lines) > 0
+    THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+    ELSE 0.0 END, 6) AS dup_line_frac,
+  len(list_intersect(list_transform(words, w -> lower(w)),
+                     [{stop}]))::BIGINT AS stopword_hits,
+  list_has_any(list_transform(words, w -> lower(w)), [{toxic}]) AS has_toxic_word
+FROM m"""
+
+
+def _quality_keep_sql() -> str:
+    t = QualityThresholds()
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toxic = ", ".join(f"'{w}'" for w in TOXIC_WORDS)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {_WORDS_SQL} AS words,
+         list_filter(string_split(text, chr(10)), x -> x != '') AS lines,
+         CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '…', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS n_symbols
+  FROM documents
+),
+x AS (
+  SELECT doc_id, len(words) AS nw, len(lines) AS nl,
+    CASE WHEN len(words) > 0
+      THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+      ELSE 0.0 END AS mean_wl,
+    CASE WHEN len(words) > 0 THEN n_symbols::DOUBLE / len(words) ELSE 0.0 END AS sym,
+    CASE WHEN len(lines) > 0
+      THEN len(list_filter(lines, ln -> starts_with(ln, '- ')
+            OR starts_with(ln, '* ') OR starts_with(ln, '• ')))::DOUBLE / len(lines)
+      ELSE 0.0 END AS bullet,
+    CASE WHEN len(lines) > 0
+      THEN len(list_filter(lines, ln -> ends_with(ln, '...')
+            OR ends_with(ln, '…')))::DOUBLE / len(lines)
+      ELSE 0.0 END AS ell,
+    CASE WHEN len(words) > 0
+      THEN len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}')))::DOUBLE / len(words)
+      ELSE 0.0 END AS alpha,
+    CASE WHEN len(lines) > 0
+      THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+      ELSE 0.0 END AS dup,
+    len(list_intersect(list_transform(words, w -> lower(w)), [{stop}])) AS stop_hits,
+    list_has_any(list_transform(words, w -> lower(w)), [{toxic}]) AS toxic
+  FROM m
+),
+d AS (
+  SELECT doc_id,
+    CASE
+      WHEN nw = 0 THEN 'empty'
+      WHEN nw < {t.min_words} THEN 'too_short'
+      WHEN nw > {t.max_words} THEN 'too_long'
+      WHEN mean_wl < {t.min_mean_word_len} OR mean_wl > {t.max_mean_word_len}
+        THEN 'word_length'
+      WHEN sym > {t.max_symbol_ratio} THEN 'symbol_ratio'
+      WHEN bullet > {t.max_bullet_line_frac} THEN 'bullet_lines'
+      WHEN ell > {t.max_ellipsis_line_frac} THEN 'ellipsis_lines'
+      WHEN alpha < {t.min_alpha_word_frac} THEN 'low_alpha'
+      WHEN dup > {t.max_dup_line_frac} THEN 'repetition'
+      WHEN stop_hits < {t.min_stopword_hits} THEN 'stopwords'
+      WHEN toxic THEN 'toxicity'
+    END AS reason
+  FROM x
+)
+SELECT doc_id::BIGINT AS doc_id,
+       reason IS NULL AS keep,
+       COALESCE(reason, 'none') AS drop_reason
+FROM d"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "customers_without_orders": """
+SELECT c_custkey::BIGINT AS c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)""",
+        "order_running_total": """
+SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
+  round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+FROM orders""",
+        "part_budget": """
+SELECT p_partkey::BIGINT AS p_partkey, p_brand, round(run_spend, 2) AS run_spend
+FROM (
+  SELECT p_partkey, p_brand,
+    sum(p_retailprice) OVER (
+      PARTITION BY p_brand ORDER BY p_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+  FROM part) t
+WHERE run_spend <= 50000.0""",
+        "latest_event_per_user": """
+SELECT user_id::BIGINT AS user_id, max(epoch_us(ts))::BIGINT AS max_ts_us,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id""",
+        "events_hourly": """
+SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "exact_dedup": """
+SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1""",
+        "ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
+        "simhash": _simhash_sql(),
+        "token_counts": f"""
+SELECT doc_id::BIGINT AS doc_id,
+  len({_WORDS_SQL})::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{bpe}'))::BIGINT AS bpe_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents""",
+        "fingerprints": """
+SELECT doc_id::BIGINT AS doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g'))) AS fingerprint
+FROM documents""",
+        "quality_metrics": _quality_metrics_sql(),
+        "quality_keep": _quality_keep_sql(),
+        "host_doc_counts": """
+SELECT source || '.example.com' AS host, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1""",
+        "pii_scrub_email": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         'user' || c_custkey::VARCHAR || '@mailhost.example.com' AS email
+  FROM customer
+),
+m AS (
+  SELECT url,
+         'u' || regexp_replace(substr(email, 2, length(email) - 4),
+                               '[A-Za-z0-9]', '*', 'g') || 'com' AS masked
+  FROM d
+)
+SELECT url,
+  'please reach ' || masked || ' for help' AS scrubbed_text,
+  CAST(1 AS BIGINT) AS n_findings,
+  'EMAIL_ADDRESS' AS pii_type,
+  'All' AS pii_region,
+  masked AS pii_masked
+FROM m""",
+        "pii_scrub_ssn": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         printf('%03d-%02d-%04d', 100 + c_custkey % 800, 10 + c_custkey % 89,
+                1000 + c_custkey % 9000) AS ssn
+  FROM customer
+),
+m AS (
+  SELECT url, ssn,
+         substr(ssn, 1, 2)
+           || regexp_replace(substr(ssn, 3, 7), '[A-Za-z0-9]', '*', 'g')
+           || substr(ssn, 10, 2) AS masked
+  FROM d
+)
+SELECT url,
+  'social security ' || masked || ' on record' AS scrubbed_text,
+  CAST(1 AS BIGINT) AS n_findings,
+  'US_SSN' AS pii_type,
+  'USA' AS pii_region,
+  masked AS pii_masked
+FROM m""",
+        # documents are lowercase word-soup with no digits/'='/symbols → the
+        # battery provably matches nothing; the oracle asserts exactly that
+        "scrub_documents": """
+SELECT doc_id::BIGINT AS doc_id, CAST(0 AS BIGINT) AS n_findings,
+       FALSE AS is_phi, md5(text) AS scrub_md5
+FROM documents""",
+        "ann_bruteforce": _ann_bruteforce_sql(3, 8),
+        "ann_lsh": _ann_lsh_sql(64, 3, 6, 8, 8),
+        "embedding_neardup": _neardup_sql(64, 0.4, 6),
+        "media_features": """
+SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents""",
+        "frame_sampling": """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(repeat(text, 5))) AS nb FROM documents
+),
+f AS (
+  SELECT doc_id, nb,
+         unnest(generate_series(0, least(8, greatest(nb // 1024, 1)) - 1)) AS i
+  FROM m
+)
+SELECT doc_id::BIGINT AS media_id, i::BIGINT AS frame_idx,
+       least(1024, nb - i * 1024)::BIGINT AS n_frame_bytes
+FROM f""",
+        # langid_documents: Python model artifacts — rows-only by design
+    }

@@ -44,25 +44,53 @@ def _count_occurrences(col: Column, token: str) -> Column:
     ).cast("long")
 
 
+# single non-whitespace char (negation of WS_CLASS)
+_NWS = "[^ \\t\\n\\r\\f\\u000B]"
+
+
 def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the heuristic metric columns (all JVM expressions)."""
+    """Attach the heuristic metric columns.
+
+    Every metric is a flat, whole-stage-codegen JVM expression (regex
+    count / string-length arithmetic) — no higher-order array functions,
+    which are interpreted per element and dominated the stage cost. At
+    100 TB these run at scan speed. Semantics are unchanged and pinned by
+    ``tests/oracle.py`` and the driver's DuckDB oracle:
+
+    * words  = maximal runs of non-whitespace (``[^ \\t\\n\\r\\f\\x0B]+``)
+    * lines  = maximal runs of non-``\\n``
+    """
     text = F.col(text_col)
-    words = F.filter(F.split(text, WS_CLASS), lambda w: w != F.lit(""))
-    lines = F.filter(F.split(text, "\n"), lambda ln: ln != F.lit(""))
+
+    def _count(rx: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(rx), F.lit(0))).cast("long")
 
     df = (
-        df.withColumn("_words", words)
-        .withColumn("_lines", lines)
-        .withColumn("n_words", F.size("_words").cast("long"))
-        .withColumn("n_lines", F.size("_lines").cast("long"))
+        df.withColumn("n_words", _count(f"{_NWS}+"))
+        .withColumn("n_lines", _count("[^\\n]+"))
         .withColumn("n_chars", F.length(text).cast("long"))
     )
     nw = F.col("n_words")
     nl = F.col("n_lines")
 
-    char_sum = F.aggregate(
-        "_words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    # total word chars = total chars minus whitespace chars
+    char_sum = F.length(F.regexp_replace(text, WS_CLASS, ""))
+
+    # non-empty distinct lines: distinct over the raw split minus the empty
+    # string if present (split keeps empties; they are never "lines")
+    raw_lines = F.split(text, "\n")
+    distinct_nonempty = (
+        F.size(F.array_distinct(raw_lines))
+        - F.array_contains(raw_lines, "").cast("int")
     )
+
+    stop_hits = None
+    for s in STOPWORDS:
+        term = text.rlike(f"(?i)(?:^|{WS_CLASS}){s}(?:{WS_CLASS}|$)").cast("int")
+        stop_hits = term if stop_hits is None else stop_hits + term
+
+    toxic_alt = "|".join(TOXIC_WORDS)
+    has_toxic = text.rlike(f"(?i)(?:^|{WS_CLASS})(?:{toxic_alt})(?:{WS_CLASS}|$)")
 
     df = (
         df.withColumn(
@@ -84,65 +112,29 @@ def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "bullet_line_frac",
             F.when(
-                nl > 0,
-                F.size(
-                    F.filter(
-                        "_lines",
-                        lambda ln: F.reduce(
-                            F.array(*[F.lit(p) for p in BULLET_PREFIXES]),
-                            F.lit(False),
-                            lambda acc, p: acc | F.startswith(ln, p),
-                        ),
-                    )
-                )
-                / nl,
+                nl > 0, _count("(?m)^(?:- |\\* |• )") / nl
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "ellipsis_line_frac",
             F.when(
-                nl > 0,
-                F.size(
-                    F.filter(
-                        "_lines",
-                        lambda ln: F.endswith(ln, F.lit("..."))
-                        | F.endswith(ln, F.lit("…")),
-                    )
-                )
-                / nl,
+                nl > 0, _count("(?m)(?:\\.\\.\\.|…)$") / nl
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "alpha_word_frac",
             F.when(
-                nw > 0,
-                F.size(F.filter("_words", lambda w: w.rlike(r"\p{L}"))) / nw,
+                nw > 0, _count(f"{_NWS}*\\p{{L}}{_NWS}*") / nw
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "dup_line_frac",
             F.when(
-                nl > 0,
-                F.lit(1.0) - F.size(F.array_distinct("_lines")) / nl,
+                nl > 0, F.lit(1.0) - distinct_nonempty / nl
             ).otherwise(F.lit(0.0)),
         )
-        .withColumn(
-            "stopword_hits",
-            F.size(
-                F.array_intersect(
-                    F.transform("_words", F.lower),
-                    F.array(*[F.lit(s) for s in STOPWORDS]),
-                )
-            ).cast("long"),
-        )
-        .withColumn(
-            "has_toxic_word",
-            F.arrays_overlap(
-                F.transform("_words", F.lower),
-                F.array(*[F.lit(w) for w in TOXIC_WORDS]),
-            ),
-        )
-        .drop("_words", "_lines")
+        .withColumn("stopword_hits", stop_hits.cast("long"))
+        .withColumn("has_toxic_word", has_toxic)
     )
     return df
 

@@ -222,8 +222,16 @@ WEB_PAGES_PA_SCHEMA = pa.schema(
 )
 
 
-def write_web_pages(path: str, n_rows: int, seed: int = SEED) -> str:
-    """Write the corpus as a single deterministic parquet file."""
+def write_web_pages(
+    path: str, n_rows: int, seed: int = SEED, row_group_size: int = 1_000
+) -> str:
+    """Write the corpus as a single deterministic parquet file.
+
+    ``row_group_size`` bounds the split granularity: Spark assigns file
+    byte-ranges to tasks but a row group is indivisible, so one giant row
+    group would serialize the whole scan onto one task regardless of
+    ``maxPartitionBytes``.
+    """
     cols: dict[str, list] = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     for url, ts, html, text, lang in generate_rows(n_rows, seed):
         cols["url"].append(url)
@@ -232,5 +240,7 @@ def write_web_pages(path: str, n_rows: int, seed: int = SEED) -> str:
         cols["text"].append(text)
         cols["lang"].append(lang)
     table = pa.Table.from_pydict(cols, schema=WEB_PAGES_PA_SCHEMA)
-    pq.write_table(table, path, compression="snappy")
+    pq.write_table(
+        table, path, compression="snappy", row_group_size=row_group_size
+    )
     return path
