@@ -70,7 +70,13 @@ def exact_dedup(
 
 
 def minhash_signature_cols(k: int, shingle_col: str = "shingles") -> list[Column]:
-    """k minwise hashes: min(md5('<seed>:' || shingle)) per seed."""
+    """k minwise hashes: min(md5('<seed>:' || shingle)) per seed.
+
+    Array-expression form (one pass per row). Prefer the explode+groupBy
+    form in ``minhash_lsh_pairs``: Catalyst's CollapseProject inlines the
+    whole (interpreted) shingle construction into each of the k expressions,
+    so this form costs k× the shingling.
+    """
     return [
         F.array_min(
             F.transform(
@@ -105,7 +111,20 @@ def minhash_lsh_pairs(
         F.col(id_col).cast("long").alias("doc_id"),
         shingles_col(shingle_n, text_col).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = base.select("doc_id", "shingles", *minhash_signature_cols(num_hashes))
+    # signatures from the exploded relation: the shingle construction runs
+    # exactly once, and the k min-aggregates are a single whole-stage-codegen
+    # pass with map-side partial aggregation (vs k× interpreted array scans
+    # when expressed as per-row array expressions — CollapseProject inlines
+    # the shingling into every one of them). collect_set carries the shingle
+    # set through the same shuffle for the exact-Jaccard verify step.
+    ex = base.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+        F.collect_set("s").alias("shingles"),
+    )
 
     band_structs = [
         F.struct(
@@ -138,7 +157,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select(
+    sh = sig.select(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     verified = (

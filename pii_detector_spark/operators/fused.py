@@ -1,0 +1,222 @@
+"""Single-pass fused document processor — the pipeline's hot path.
+
+One Arrow-batched pandas UDF computes, per document: HTML text extraction,
+quality metrics, language-ID + perplexity, the first-failing-rule keep/drop
+decision, and the gated PII scrub. Rationale at scale:
+
+* one JVM↔Python round trip per batch instead of three (the text column is
+  the wide payload; shipping it across Arrow once matters),
+* one Python worker per task instead of one per UDF stage — at N cores the
+  job runs ~2N threads (JVM scan/write + Python), not ~4N, which is what
+  makes N→4N scaling efficiency hold on a fixed-size machine,
+* zero per-row Python on the Spark side (north-rule), all artifacts
+  (regex battery, language models) compiled once per executor process.
+
+Semantics are identical to the composable operators (``operators/quality``,
+``operators/langid``, ``operators/scrub``) and are pinned three ways: the
+pure-Python oracle in ``tests/oracle.py`` (independent reimplementation),
+the JVM expression implementation (driver-query oracle vs DuckDB), and the
+unit suites. Metric definitions follow quality.py's documented tokenization
+spec (reference behavior citations in scrub.py / patterns.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pii_detector_spark.config import QualityThresholds
+from pii_detector_spark.functions.langmodels import perplexity, predict_lang
+from pii_detector_spark.functions.textnorm import extract_text_from_html
+from pii_detector_spark.functions.toxicity import TOXIC_SET
+from pii_detector_spark.operators.quality import (
+    BULLET_PREFIXES,
+    ELLIPSIS_SUFFIXES,
+    STOPWORDS,
+)
+from pii_detector_spark.operators.scrub import (
+    FINDING_TYPE,
+    build_findings,
+    detect,
+    is_phi,
+    scrub_text,
+)
+
+_WS = re.compile(r"[ \t\n\r\f\x0b]+")
+_STOPSET = set(STOPWORDS)
+
+
+def process_document(url: str, text: str, t: QualityThresholds) -> dict:
+    """Full per-document decision + scrub (pure function; one doc)."""
+    words = [w for w in _WS.split(text) if w]
+    lines = [ln for ln in text.split("\n") if ln]
+    nw, nl = len(words), len(lines)
+
+    mean_wl = (sum(map(len, words)) / nw) if nw else 0.0
+    symbol_ratio = (
+        (text.count("#") + text.count("…") + text.count("...")) / nw
+        if nw
+        else 0.0
+    )
+    bullet = (
+        sum(1 for ln in lines if ln.startswith(BULLET_PREFIXES)) / nl
+        if nl
+        else 0.0
+    )
+    ellipsis = (
+        sum(1 for ln in lines if ln.endswith(ELLIPSIS_SUFFIXES)) / nl
+        if nl
+        else 0.0
+    )
+    alpha = (
+        sum(1 for w in words if any(c.isalpha() for c in w)) / nw if nw else 0.0
+    )
+    dup = (1.0 - len(set(lines)) / nl) if nl else 0.0
+    lowered = {w.lower() for w in words}
+    stop_hits = len(lowered & _STOPSET)
+    toxic = not lowered.isdisjoint(TOXIC_SET)
+    lang = predict_lang(text)
+    ppl = min(perplexity(text), 1e9)
+
+    reason = None
+    if nw == 0:
+        reason = "empty"
+    elif nw < t.min_words:
+        reason = "too_short"
+    elif nw > t.max_words:
+        reason = "too_long"
+    elif mean_wl < t.min_mean_word_len or mean_wl > t.max_mean_word_len:
+        reason = "word_length"
+    elif symbol_ratio > t.max_symbol_ratio:
+        reason = "symbol_ratio"
+    elif bullet > t.max_bullet_line_frac:
+        reason = "bullet_lines"
+    elif ellipsis > t.max_ellipsis_line_frac:
+        reason = "ellipsis_lines"
+    elif alpha < t.min_alpha_word_frac:
+        reason = "low_alpha"
+    elif dup > t.max_dup_line_frac:
+        reason = "repetition"
+    elif lang not in t.allowed_langs:
+        reason = "language"
+    elif stop_hits < t.min_stopword_hits:
+        reason = "stopwords"
+    elif ppl > t.max_perplexity:
+        reason = "perplexity"
+    elif toxic:
+        reason = "toxicity"
+
+    keep = reason is None
+    if keep:
+        matches = detect(text)
+        scrubbed = scrub_text(text, matches)
+        findings = build_findings(url, matches)
+    else:
+        scrubbed = None
+        findings = None
+
+    return {
+        "text": text,
+        "lang_pred": lang,
+        "perplexity": ppl,
+        "n_words": nw,
+        "n_lines": nl,
+        "n_chars": len(text),
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ellipsis,
+        "alpha_word_frac": alpha,
+        "dup_line_frac": dup,
+        "stopword_hits": stop_hits,
+        "has_toxic_word": toxic,
+        "keep": keep,
+        "drop_reason": reason,
+        "is_phi": is_phi(url, text),
+        "scrubbed_text": scrubbed,
+        "findings": findings,
+        "content_md5": hashlib.md5(text.encode("utf-8")).hexdigest(),
+    }
+
+
+FUSED_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("lang_pred", StringType()),
+        StructField("perplexity", DoubleType()),
+        StructField("n_words", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("n_chars", LongType()),
+        StructField("mean_word_len", DoubleType()),
+        StructField("symbol_ratio", DoubleType()),
+        StructField("bullet_line_frac", DoubleType()),
+        StructField("ellipsis_line_frac", DoubleType()),
+        StructField("alpha_word_frac", DoubleType()),
+        StructField("dup_line_frac", DoubleType()),
+        StructField("stopword_hits", LongType()),
+        StructField("has_toxic_word", BooleanType()),
+        StructField("keep", BooleanType()),
+        StructField("drop_reason", StringType()),
+        StructField("is_phi", BooleanType()),
+        StructField("scrubbed_text", StringType()),
+        StructField("findings", ArrayType(FINDING_TYPE)),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+def make_fused_udf(thresholds: QualityThresholds):
+    """Build the fused UDF with the rule thresholds captured in the closure
+    (broadcast-by-closure; models/battery still compile lazily per
+    executor)."""
+
+    names = [f.name for f in FUSED_RESULT_TYPE.fields]
+
+    def _fused_batch(
+        urls: pd.Series, htmls: pd.Series, texts: pd.Series
+    ) -> pd.DataFrame:
+        # columnar assembly: one list per output column (pandas row-dict
+        # inference costs ~20% of the batch at this width)
+        cols: dict[str, list] = {n: [] for n in names}
+        for url, h, t in zip(urls, htmls, texts):
+            d = process_document(
+                url or "",
+                extract_text_from_html(h) if h is not None else (t or ""),
+                thresholds,
+            )
+            for n in names:
+                cols[n].append(d[n])
+        return pd.DataFrame(cols)
+
+    return F.pandas_udf(_fused_batch, returnType=FUSED_RESULT_TYPE).asNondeterministic()
+
+
+def with_fused_processing(
+    df: DataFrame, thresholds: QualityThresholds | None = None
+) -> DataFrame:
+    """Attach every pipeline output column in one UDF pass. Expects
+    (url, html, text) columns; html may be null (text fallback)."""
+    udf = make_fused_udf(thresholds or QualityThresholds())
+    out = df.withColumn(
+        "_d", udf(F.col("url"), F.col("html"), F.col("text"))
+    ).drop("html", "text")
+    for f in FUSED_RESULT_TYPE.fields:
+        out = out.withColumn(f.name, F.col(f"_d.{f.name}"))
+    return out.drop("_d").withColumn(
+        "n_findings",
+        F.when(F.col("findings").isNotNull(), F.size("findings"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -63,14 +63,20 @@ from pii_detector_spark.patterns import (
 Match = tuple[int, str, int, int, str]
 
 
+_DIGIT_RX = re.compile(r"\d")
+
+
 def detect(text: str) -> list[Match]:
     """All battery matches in canonical category order."""
     if not text:
         return []
     out: list[Match] = []
     lowered = text.lower()
+    has_digit = _DIGIT_RX.search(text) is not None
     exclude = compiled_secret_exclude()
     for idx, (spec, rx) in enumerate(compiled_battery()):
+        if spec.needs_digit and not has_digit:
+            continue
         if spec.guards and not any(g in lowered for g in spec.guards):
             continue
         is_cred = spec.kind == "credential"

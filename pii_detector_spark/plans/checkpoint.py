@@ -80,39 +80,57 @@ def build_lineage(
     )
 
 
+METRICS_SCHEMA = (
+    "partition_id INT, docs_scanned BIGINT, docs_kept BIGINT, "
+    "drop_reasons MAP<STRING,BIGINT>, pii_hits MAP<STRING,BIGINT>, "
+    "run_id STRING"
+)
+
+
 def build_metrics(docs: DataFrame, findings: DataFrame, run_id: str) -> DataFrame:
     """Per-partition lineage metrics: docs scanned/kept, drop reasons map,
-    PII hits by category map."""
-    base = docs.withColumn("_pid", F.spark_partition_id())
-    per_pid = base.groupBy("_pid").agg(
-        F.count(F.lit(1)).alias("docs_scanned"),
-        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+    PII hits by category map.
+
+    The per-partition counters are metadata-sized (partitions × reasons /
+    categories), so the maps are assembled driver-side from two flat
+    partial-aggregated collects — one narrow aggregation job each — instead
+    of a groupBy→groupBy→join plan whose scheduling latency dominated the
+    pipeline's serial tail.
+    """
+    spark = docs.sparkSession
+    doc_rows = (
+        docs.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "keep", "drop_reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    reasons = (
-        base.filter(F.col("drop_reason").isNotNull())
-        .groupBy("_pid", "drop_reason")
-        .count()
-        .groupBy("_pid")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("drop_reason", "count"))
-            ).alias("drop_reasons")
-        )
-    )
-    hits = (
+    hit_rows = (
         findings.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid", "pii_type")
-        .count()
-        .groupBy("_pid")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("pii_type", "count"))
-            ).alias("pii_hits")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    agg: dict[int, dict] = {}
+    for r in doc_rows:
+        m = agg.setdefault(
+            r["_pid"],
+            {"docs_scanned": 0, "docs_kept": 0, "drop_reasons": {}, "pii_hits": {}},
         )
-    )
-    return (
-        per_pid.join(reasons, "_pid", "left")
-        .join(hits, "_pid", "left")
-        .withColumnRenamed("_pid", "partition_id")
-        .withColumn("run_id", F.lit(run_id))
-    )
+        m["docs_scanned"] += r["n"]
+        if r["keep"]:
+            m["docs_kept"] += r["n"]
+        if r["drop_reason"] is not None:
+            m["drop_reasons"][r["drop_reason"]] = (
+                m["drop_reasons"].get(r["drop_reason"], 0) + r["n"]
+            )
+    for r in hit_rows:
+        m = agg.setdefault(
+            r["_pid"],
+            {"docs_scanned": 0, "docs_kept": 0, "drop_reasons": {}, "pii_hits": {}},
+        )
+        m["pii_hits"][r["pii_type"]] = m["pii_hits"].get(r["pii_type"], 0) + r["n"]
+    rows = [
+        (pid, m["docs_scanned"], m["docs_kept"], m["drop_reasons"], m["pii_hits"], run_id)
+        for pid, m in sorted(agg.items())
+    ]
+    return spark.createDataFrame(rows, schema=METRICS_SCHEMA)

@@ -32,17 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pii_detector_spark.config import DEFAULT_CONFIG, EngineConfig
-from pii_detector_spark.operators.langid import with_langid
-from pii_detector_spark.operators.quality import (
-    with_keep_decision,
-    with_quality_metrics,
-)
-from pii_detector_spark.operators.scrub import findings_table, with_gated_scrub
+from pii_detector_spark.operators.fused import with_fused_processing
+from pii_detector_spark.operators.scrub import findings_table
 from pii_detector_spark.plans import checkpoint
 from pii_detector_spark.sources.web_pages import (
     apply_prefilters,
     read_web_pages,
-    with_extracted_text,
 )
 
 DOC_COLUMNS = [
@@ -77,22 +72,21 @@ def transform_web_pages(
     extract_html: bool = True,
     prefilter: bool = True,
 ) -> DataFrame:
-    """The full logical plan, scan → scrub, as a reusable transformation."""
+    """The full logical plan, scan → scrub, as a reusable transformation.
+
+    The whole per-document chain (extract → metrics → langid → decide →
+    gated scrub) runs as ONE fused pandas UDF (``operators/fused.py``): one
+    Arrow round trip and one Python worker per task — the property that
+    keeps N→4N scaling efficiency ≥0.8. The composable per-stage operators
+    remain available for ad-hoc plans and the driver's SQL-oracle queries.
+    ``extract_html=False`` skips HTML extraction by nulling the html column
+    (the fused UDF falls back to the text column).
+    """
     if prefilter:
         df = apply_prefilters(df)
-    if extract_html:
-        df = with_extracted_text(df)
-    df = df.drop("html")
-    df = with_quality_metrics(df)
-    df = with_langid(df)
-    df = with_keep_decision(df, config.quality)
-    df = with_gated_scrub(df)
-    return df.withColumn(
-        "n_findings",
-        F.when(F.col("findings").isNotNull(), F.size("findings"))
-        .otherwise(F.lit(0))
-        .cast("long"),
-    ).withColumn("content_md5", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    if not extract_html:
+        df = df.withColumn("html", F.lit(None).cast("binary"))
+    return with_fused_processing(df, config.quality)
 
 
 @dataclass
@@ -130,6 +124,14 @@ def run_pipeline(
     docs_path = os.path.join(output_dir, "docs")
     findings_path = os.path.join(output_dir, "findings")
 
+    # output sizing: one file per final partition — cap at ~4 files/core so
+    # the (driver-serial) commit protocol doesn't become the Amdahl tail
+    # while tasks stay balanced. coalesce (not repartition): no shuffle of
+    # the wide text/findings columns; the UDF stage simply runs on the
+    # merged splits.
+    n_out = 4 * spark.sparkContext.defaultParallelism
+    docs = docs.coalesce(n_out)
+
     # single computation pass → docs parquet (findings array rides along)
     docs.select("run_id", *DOC_COLUMNS, "findings").write.mode(
         "append"
@@ -150,11 +152,13 @@ def run_pipeline(
     all_findings = spark.read.parquet(findings_path).filter(
         F.col("run_id") == run_id
     )
-    checkpoint.build_metrics(this_run, all_findings, run_id).write.mode(
-        "append"
-    ).parquet(checkpoint.metrics_path(output_dir))
+    # build_metrics materializes the (tiny) counters driver-side; reuse them
+    # for docs_written instead of a separate count() scan of the docs output
+    metrics_df = checkpoint.build_metrics(this_run, all_findings, run_id)
+    metrics_rows = metrics_df.collect()
+    metrics_df.write.mode("append").parquet(checkpoint.metrics_path(output_dir))
 
-    n = this_run.count()
+    n = sum(r["docs_scanned"] for r in metrics_rows)
     return PipelineResult(
         docs_path=docs_path,
         findings_path=findings_path,
