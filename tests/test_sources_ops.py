@@ -1,0 +1,184 @@
+"""Tests for archive expansion, file extraction, tabular scanning,
+classifiers, and deleted-object GC (SURVEY.md S11/S12/P11/F3/F4/F7)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from tests.oracle import oracle_mask
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in members.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tgz_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+class TestArchives:
+    def test_zip_and_tar_explode(self, spark):
+        from pii_detector_spark.sources.archives import explode_archives
+
+        nested = _zip_bytes({"inner.txt": b"nested content"})
+        rows = [
+            ("s3://b/a.zip", _zip_bytes({"x.txt": b"hello", "sub/y.txt": b"world", "n.zip": nested})),
+            ("s3://b/c.tar.gz", _tgz_bytes({"t.txt": b"tar member"})),
+            ("s3://b/plain.txt", b"not an archive"),
+        ]
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        out = explode_archives(df).collect()
+        got = {(r.archive_url, r.member_path): bytes(r.payload) for r in out}
+        assert got[("s3://b/a.zip", "x.txt")] == b"hello"
+        assert got[("s3://b/a.zip", "sub/y.txt")] == b"world"
+        # nested archive expanded one level deeper
+        assert got[("s3://b/a.zip/n.zip", "inner.txt")] == b"nested content"
+        assert got[("s3://b/c.tar.gz", "t.txt")] == b"tar member"
+        assert len(got) == 4  # plain.txt ignored
+
+    def test_zip_bomb_guard(self, spark):
+        from pii_detector_spark.sources.archives import explode_archives
+
+        bomb = _zip_bytes({"zeros.bin": b"\x00" * 2_000_000})  # ratio >> 100
+        df = spark.createDataFrame(
+            [("s3://b/bomb.zip", bomb)], "url string, payload binary"
+        )
+        assert explode_archives(df).count() == 0
+
+
+class TestFileExtraction:
+    def test_csv_sniff(self):
+        from pii_detector_spark.sources.files import extract_file_text
+
+        data = "a;b;c\n1;2;3\n".encode()
+        assert extract_file_text("t.csv", data) == "a b c\n1 2 3"
+
+    def test_plain_fallback_and_replace(self):
+        from pii_detector_spark.sources.files import extract_file_text
+
+        assert extract_file_text("x.log", b"plain \xff text") == "plain � text"
+
+    def test_unsupported_format_raises(self):
+        from pii_detector_spark.sources.files import extract_file_text
+
+        with pytest.raises(NotImplementedError):
+            extract_file_text("doc.pdf", b"%PDF-1.4")
+
+    def test_binary_file_ingestion(self, spark, tmp_path):
+        from pii_detector_spark.sources.files import read_binary_files, with_file_text
+
+        (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+        (tmp_path / "b.txt").write_text("ssn 123-45-6789 here")
+        df = with_file_text(read_binary_files(spark, str(tmp_path)))
+        got = {r.url.split("/")[-1]: r.text for r in df.collect()}
+        assert got["a.csv"] == "x y\n1 2"
+        assert got["b.txt"] == "ssn 123-45-6789 here"
+
+
+class TestTabularScan:
+    def test_column_attribution(self, spark):
+        from pii_detector_spark.operators.tabular import scan_table
+
+        rows = [
+            (1, "john@mailhost.example.com", "123-45-6789", "clean"),
+            (2, "no pii here", "also clean", "nothing"),
+        ]
+        df = spark.createDataFrame(rows, "pk long, email string, ssn string, notes string")
+        out = scan_table(df, "pk").collect()
+        by_col = {(r.row_key, r.column_name, r.pii_type): r for r in out}
+        email = by_col[("1", "email", "EMAIL_ADDRESS")]
+        assert email.pii_masked == oracle_mask(
+            "EMAIL_ADDRESS", "john@mailhost.example.com"
+        )
+        assert ("1", "ssn", "US_SSN") in by_col
+        # clean row produces no findings
+        assert not any(r.row_key == "2" for r in out)
+
+    def test_id_columns_dropped(self, spark):
+        from pii_detector_spark.operators.tabular import melt_columns
+
+        df = spark.createDataFrame(
+            [(1, 7, "x")], "pk long, id long, val string"
+        )
+        cols = {r.column_name for r in melt_columns(df, "pk").collect()}
+        assert cols == {"val"}
+
+
+class TestClassifiers:
+    def test_filename_include_exclude(self, spark):
+        from pii_detector_spark.operators.classifiers import (
+            FilenameClassifier,
+            apply_filename_classifiers,
+        )
+
+        df = spark.createDataFrame(
+            [("https://h/secret/a.txt",), ("https://h/pub/b.txt",),
+             ("https://h/pub/c.md",)],
+            "url string",
+        )
+        out = apply_filename_classifiers(
+            df,
+            (
+                FilenameClassifier(exclude=(r"/secret/",)),
+                FilenameClassifier(include=(r"\.txt$",), labels=("text",)),
+                FilenameClassifier(include=(r"/pub/",), labels=("public",)),
+            ),
+        ).collect()
+        got = {r.url: sorted(r.labels) for r in out}
+        assert "https://h/secret/a.txt" not in got  # exclude wins
+        assert got["https://h/pub/b.txt"] == ["public", "text"]
+        assert got["https://h/pub/c.md"] == ["public"]
+
+    def test_custom_classifier_battery(self, spark):
+        from pii_detector_spark.operators.classifiers import (
+            CustomClassifier,
+            with_custom_scrub,
+        )
+
+        df = spark.createDataFrame(
+            [("u1", "ref TICKET-42 and john@mailhost.example.com")],
+            "url string, text string",
+        )
+        out = with_custom_scrub(
+            df, (CustomClassifier(name="TICKET_ID", patterns=(r"TICKET-[0-9]+",)),)
+        ).collect()[0]
+        types = {f.pii_type: f for f in out.findings}
+        assert types["TICKET_ID"].is_custom_regex is True
+        assert types["TICKET_ID"].pii_data == "******-**"
+        assert types["EMAIL_ADDRESS"].is_custom_regex is False
+        assert "******-**" in out.scrubbed_text
+
+    def test_include_set_semi_join(self, spark):
+        from pii_detector_spark.operators.classifiers import apply_include_set
+
+        df = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+        allowed = spark.createDataFrame([("a",), ("c",)], "url string")
+        got = sorted(r.url for r in apply_include_set(df, allowed).collect())
+        assert got == ["a", "c"]
+
+
+class TestDeletedGC:
+    def test_deleted_urls(self, spark):
+        from pii_detector_spark.plans.checkpoint import deleted_urls
+
+        lineage = spark.createDataFrame(
+            [("a", "SCANNED"), ("b", "SCANNED"), ("c", "SCANNED")],
+            "url string, status string",
+        )
+        current = spark.createDataFrame([("a",), ("c",)], "url string")
+        got = sorted(r.url for r in deleted_urls(lineage, current).collect())
+        assert got == ["b"]
