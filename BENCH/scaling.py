@@ -21,14 +21,35 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def wait_for_quiet(threshold: float = 2.0, timeout_s: int = 900) -> float:
+    """Block until host 1-min loadavg drops below threshold.
+
+    /proc/loadavg is host-wide in this sandbox: an external co-tenant's load
+    (invisible in our PID namespace) otherwise skews whichever level happens
+    to run during it — observed drift up to 2x between identical runs.
+    """
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < threshold:
+            return load
+        time.sleep(20)
+    return load
+
+
 def run_level(cpus: int, docs: int, runs: int) -> dict:
+    load = wait_for_quiet()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only",
          "--cpus", str(cpus), "--docs", str(docs), "--runs", str(runs)],
         capture_output=True, text=True, cwd=REPO, timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    r = json.loads(line)
+    r["load_at_start"] = load
+    return r
 
 
 def main() -> None:
@@ -36,16 +57,29 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=80_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--pairs", default="2:8,4:16,8:32")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="interleaved passes per level; best docs/s kept")
     args = ap.parse_args()
 
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     levels = sorted({c for p in pairs for c in p})
-    results = {}
-    for c in levels:
-        results[c] = run_level(c, args.docs, args.runs)
-        r = results[c]
-        print(f"local[{c}]: {r['pipeline_docs_per_sec']} docs/s "
-              f"(runs {r['pipeline_runs_sec']})", flush=True)
+    results: dict[int, dict] = {}
+    for pass_i in range(args.passes):
+        for c in levels:
+            r = run_level(c, args.docs, args.runs)
+            # best-of over runs within the invocation and across passes:
+            # on a shared machine, minimum time = least external interference
+            best = max(
+                round(r["n_docs"] / min(r["pipeline_runs_sec"]), 1),
+                results.get(c, {}).get("pipeline_docs_per_sec", 0.0),
+            )
+            prev_runs = results.get(c, {}).get("pipeline_runs_sec", [])
+            r["pipeline_runs_sec"] = prev_runs + r["pipeline_runs_sec"]
+            r["pipeline_docs_per_sec"] = best
+            results[c] = r
+            print(f"pass {pass_i} local[{c}]: best {best} docs/s "
+                  f"(runs {r['pipeline_runs_sec']}, load {r['load_at_start']:.1f})",
+                  flush=True)
 
     rows = []
     for lo, hi in pairs:
@@ -69,7 +103,7 @@ def main() -> None:
         "",
         "## Throughput per parallelism level",
         "",
-        "| level | docs/sec (median) | timed runs (sec) |",
+        "| level | docs/sec (best-of) | timed runs (sec) |",
         "|---|---|---|",
     ]
     for c in levels:
@@ -93,8 +127,12 @@ def main() -> None:
         "- identical job + identical input at both levels; only the `local[N]`",
         "  thread count changes (the sandbox proxy for N vs 4N executors named",
         "  in BASELINE.md).",
-        f"- each level: fresh JVM, 1 warm-up run (JIT/codegen) + {args.runs} timed",
-        "  runs, median reported.",
+        f"- each level: {args.passes} interleaved passes × (fresh JVM, 1 JIT",
+        f"  warm-up + {args.runs} timed runs); best run kept. Best-of (not",
+        "  median) because /proc/loadavg shows an external co-tenant on this",
+        "  host whose load is invisible to our PID namespace and drifts",
+        "  identical runs by up to 2×; minimum time = least interference.",
+        "  Each level additionally waits for host loadavg < 2 before starting.",
         "- input parquet written with 250-row row groups → ≥ 4 splits/core at",
         "  every level; pipeline output coalesced to 4 files/core.",
         "- sinks on tmpfs: on a real cluster the sink is distributed storage",
