@@ -181,9 +181,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.5,
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (no sketching): candidate pairs
-    from a shared-shingle equi-join, jaccard from per-doc distinct counts."""
+    from a shared-shingle equi-join, jaccard from per-doc distinct counts.
+
+    ``max_docs_per_shingle`` is the corpus-scale guard: a shingle shared by
+    d documents contributes d² candidate pairs, so one boilerplate shingle
+    (cookie banners, license headers) can detonate the join. Capping drops
+    shingles with document frequency > cap from *candidate generation only*;
+    surviving candidates are then verified with exact Jaccard over the full
+    shingle sets — a high-recall approximation in which a missed pair must
+    share nothing but boilerplate. Default None = fully exact single-pass
+    count (what the DuckDB oracle checks)."""
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         shingles_col(shingle_n, text_col).alias("shingles"),
@@ -192,6 +202,41 @@ def ngram_jaccard_pairs(
     exploded = base.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).withColumn("shingle_md5", F.md5("shingle")).drop("shingle")
+    if max_docs_per_shingle is not None:
+        rare = (
+            exploded.groupBy("shingle_md5")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_docs_per_shingle)
+            .select("shingle_md5")
+        )
+        capped = exploded.join(rare, "shingle_md5", "left_semi")
+        a = capped.alias("a")
+        b = capped.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle_md5") == F.col("b.shingle_md5"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("i_n", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("i_n")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("i_n")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -177,10 +177,15 @@ FUSED_RESULT_TYPE = StructType(
     ]
 )
 
-def make_fused_udf(thresholds: QualityThresholds):
-    """Build the fused UDF with the rule thresholds captured in the closure
-    (broadcast-by-closure; models/battery still compile lazily per
-    executor)."""
+def make_fused_udf(thresholds: QualityThresholds, broadcast=None):
+    """Build the fused UDF.
+
+    ``broadcast`` (optional): a ``SparkContext.broadcast`` handle wrapping
+    the thresholds — shipped once per executor instead of once per task
+    (north-rule: broadcast compiled artifacts). The regex battery and
+    language models are module-level ``lru_cache`` artifacts that compile
+    lazily once per executor Python worker either way; the broadcast covers
+    the run-specific configuration."""
 
     names = [f.name for f in FUSED_RESULT_TYPE.fields]
 
@@ -189,12 +194,13 @@ def make_fused_udf(thresholds: QualityThresholds):
     ) -> pd.DataFrame:
         # columnar assembly: one list per output column (pandas row-dict
         # inference costs ~20% of the batch at this width)
+        t_conf = broadcast.value if broadcast is not None else thresholds
         cols: dict[str, list] = {n: [] for n in names}
         for url, h, t in zip(urls, htmls, texts):
             d = process_document(
                 url or "",
                 extract_text_from_html(h) if h is not None else (t or ""),
-                thresholds,
+                t_conf,
             )
             for n in names:
                 cols[n].append(d[n])
@@ -208,7 +214,12 @@ def with_fused_processing(
 ) -> DataFrame:
     """Attach every pipeline output column in one UDF pass. Expects
     (url, html, text) columns; html may be null (text fallback)."""
-    udf = make_fused_udf(thresholds or QualityThresholds())
+    t = thresholds or QualityThresholds()
+    try:
+        bc = df.sparkSession.sparkContext.broadcast(t)
+    except Exception:  # e.g. Spark Connect: no SparkContext → closure ship
+        bc = None
+    udf = make_fused_udf(t, broadcast=bc)
     out = df.withColumn(
         "_d", udf(F.col("url"), F.col("html"), F.col("text"))
     ).drop("html", "text")

@@ -1,0 +1,68 @@
+"""Structured Streaming tests: AvailableNow incremental scan already covered
+in test_pipeline; here: the custom stateful sessionization operator and the
+windowed rollup."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    from pii_detector_spark.streaming.sessionize import sessionize
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    # user 1: two sessions split by a >30min gap; user 2: one session
+    m = 60 * 1_000_000
+    rows = [
+        (1, 0 * m, 1.0),
+        (1, 5 * m, 2.0),
+        (1, 10 * m, 3.0),
+        (1, 120 * m, 4.0),  # new session (110min gap)
+        (1, 125 * m, 5.0),
+        (2, 0 * m, 10.0),
+        (2, 20 * m, 10.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts_us long, value double"
+    ).coalesce(1).write.parquet(str(src / "batch0"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .parquet(str(src / "*"))
+    )
+    out = sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start_us): r
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+    # the in-data-closed session must be emitted in the first batch
+    s = got[(1, 0)]
+    assert s.session_end_us == 10 * m
+    assert s.n_events == 3
+    assert s.total_value == 6.0
+    # open sessions (1 @120m, 2 @0) stay in state until timeout — not closed
+    assert (1, 120 * m) not in got
+    assert (2, 0) not in got
+
+
+def test_windowed_event_metrics_batch_equivalence(spark, sf_dir="/root/testdata/sf0.001"):
+    from pii_detector_spark.streaming.incremental import windowed_event_metrics
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = windowed_event_metrics(events)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
