@@ -336,6 +336,36 @@ def q_custom_classifier_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tabular_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 tabular scanning: per-cell findings with column_name attribution
+    (reference DB-source path, data_analysis_service.py:155-195)."""
+    from pii_detector_spark.operators.tabular import scan_table
+
+    c = _t(spark, sf_dir, "customer")
+    tbl = c.select(
+        F.col("c_custkey").cast("long").alias("pk"),
+        F.concat(
+            F.lit("user"), F.col("c_custkey").cast("string"),
+            F.lit("@mailhost.example.com"),
+        ).alias("email"),
+        F.format_string(
+            "%03d-%02d-%04d",
+            (F.lit(100) + F.col("c_custkey") % 800).cast("int"),
+            (F.lit(10) + F.col("c_custkey") % 89).cast("int"),
+            (F.lit(1000) + F.col("c_custkey") % 9000).cast("int"),
+        ).alias("ssn"),
+        F.lit("no pii in this cell").alias("notes"),
+    )
+    out = scan_table(tbl, "pk")
+    return out.select(
+        F.col("row_key").cast("long").alias("row_key"),
+        "column_name",
+        "pii_type",
+        "pii_region",
+        "pii_masked",
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication operators
 
@@ -584,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginate_orders": q_paginate_orders,
         "filename_classifiers": q_filename_classifiers,
         "custom_classifier_scrub": q_custom_classifier_scrub,
+        "tabular_scan": q_tabular_scan,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -980,6 +1011,26 @@ SELECT url,
   TRUE AS is_custom_regex,
   regexp_replace(ticket, '[A-Za-z0-9]', '*', 'g') AS pii_masked
 FROM d""",
+        "tabular_scan": """
+WITH base AS (
+  SELECT c_custkey::BIGINT AS row_key,
+         'user' || c_custkey::VARCHAR || '@mailhost.example.com' AS email,
+         printf('%03d-%02d-%04d', 100 + c_custkey % 800, 10 + c_custkey % 89,
+                1000 + c_custkey % 9000) AS ssn
+  FROM customer
+)
+SELECT row_key, 'email' AS column_name, 'EMAIL_ADDRESS' AS pii_type,
+       'All' AS pii_region,
+       'u' || regexp_replace(substr(email, 2, length(email) - 4),
+                             '[A-Za-z0-9]', '*', 'g') || 'com' AS pii_masked
+FROM base
+UNION ALL
+SELECT row_key, 'ssn' AS column_name, 'US_SSN' AS pii_type,
+       'USA' AS pii_region,
+       substr(ssn, 1, 2)
+         || regexp_replace(substr(ssn, 3, 7), '[A-Za-z0-9]', '*', 'g')
+         || substr(ssn, 10, 2) AS pii_masked
+FROM base""",
         "events_windowed": """
 SELECT (epoch_us(ts) - epoch_us(ts) % 600000000)::BIGINT AS window_start_us,
        event_type, count(*)::BIGINT AS n_events,

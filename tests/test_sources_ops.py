@@ -182,3 +182,35 @@ class TestDeletedGC:
         current = spark.createDataFrame([("a",), ("c",)], "url string")
         got = sorted(r.url for r in deleted_urls(lineage, current).collect())
         assert got == ["b"]
+
+
+class TestReferenceGoldenShape:
+    """Mirrors the reference's golden CSV structure
+    (tests/test_data/pii_file_samples/pii_sample_data.csv header:
+    SSN,gender,birthdate,...,phone,email,cc_type,CCN,...) with synthetic
+    values — the same per-column detection expectations, none of the data."""
+
+    def test_pii_sample_shape(self, spark):
+        from pii_detector_spark.operators.tabular import scan_table
+
+        rows = [
+            (1, "172-32-1176", "m", "johnson", "david",
+             "west oak drive", "4929-3813-3266-4295", "david@exmaplemail.com"),
+            (2, "514-14-8905", "f", "miller", "anna",
+             "main street five", "5370-4638-8881-3020", "anna.m@hostmail.example.org"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "pk long, ssn string, gender string, last_name string, "
+            "first_name string, address string, ccn string, email string",
+        )
+        found = scan_table(df, "pk").collect()
+        types_by_col = {}
+        for r in found:
+            types_by_col.setdefault(r.column_name, set()).add(r.pii_type)
+        assert "US_SSN" in types_by_col["ssn"]
+        assert "CREDIT_CARD" in types_by_col["ccn"]
+        assert "EMAIL_ADDRESS" in types_by_col["email"]
+        # single-word name/gender columns must stay clean
+        for col in ("gender", "last_name", "first_name", "address"):
+            assert col not in types_by_col, types_by_col.get(col)
