@@ -118,6 +118,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
     out = {}
     for name in HEADLINE_QUERIES:
         df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # codegen/JIT warmup
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)

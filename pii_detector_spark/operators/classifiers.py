@@ -82,8 +82,13 @@ def detect_with_customs(
     exclude = compiled_secret_exclude()
     lowered = text.lower()
     has_digit = any(ch.isdigit() for ch in text)
+    has_upper = any(ch.isupper() for ch in text)
     for idx, (spec, rx) in enumerate(battery):
         if spec.needs_digit and not has_digit:
+            continue
+        if spec.needs_digit_or_upper and not (has_digit or has_upper):
+            continue
+        if spec.guards_all and not all(g in lowered for g in spec.guards_all):
             continue
         if spec.guards and not any(g in lowered for g in spec.guards):
             continue

@@ -64,6 +64,7 @@ Match = tuple[int, str, int, int, str]
 
 
 _DIGIT_RX = re.compile(r"\d")
+_UPPER_RX = re.compile(r"[A-Z]")
 
 
 def detect(text: str) -> list[Match]:
@@ -73,9 +74,14 @@ def detect(text: str) -> list[Match]:
     out: list[Match] = []
     lowered = text.lower()
     has_digit = _DIGIT_RX.search(text) is not None
+    has_upper = _UPPER_RX.search(text) is not None
     exclude = compiled_secret_exclude()
     for idx, (spec, rx) in enumerate(compiled_battery()):
         if spec.needs_digit and not has_digit:
+            continue
+        if spec.needs_digit_or_upper and not (has_digit or has_upper):
+            continue
+        if spec.guards_all and not all(g in lowered for g in spec.guards_all):
             continue
         if spec.guards and not any(g in lowered for g in spec.guards):
             continue

@@ -40,6 +40,13 @@ class PatternSpec:
     # across all digit-guarded patterns). Verified against the guard-free
     # pure-Python oracle by tests.
     needs_digit: bool = False
+    # all of these substrings must occur in text.lower() (AND semantics, vs
+    # the any-of `guards`). Used for credential sets whose every alternative
+    # contains a mandatory '=' assignment.
+    guards_all: tuple[str, ...] = field(default=())
+    # skip unless the text contains a digit OR an uppercase letter (for
+    # patterns like US_DRIVER_LICENSE whose alternatives all need one)
+    needs_digit_or_upper: bool = False
 
 
 # --- 13 PII patterns (reference regex_patterns.py:5-52, order :196-212) ----
@@ -117,6 +124,7 @@ _PII: list[PatternSpec] = [
         r"[0-9]{8}[A-Z]{2}|[0-9]{3}[A-Z]{2}[0-9]{4}|[A-Z][0-9][A-Z][0-9][A-Z]|[0-9]{7,8}[A-Z])\b)|"
         r"(\b([0-9]{6,14}|[0-9]{16})\b)",
         "pii",
+        needs_digit_or_upper=True,
     ),
     PatternSpec(
         "MEDICAL_LICENSE",
@@ -146,6 +154,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"([A-Za-z0-9+/]{30})(\s*|$)",
         "credential",
         guards=("aws", "sha"),
+        guards_all=("=",),
     ),
     PatternSpec(
         "AZURE_CREDENTIALS",
@@ -159,6 +168,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"((\s*(azure(_?)ad(_?)client(_?)secret)\s*=\s*)([a-zA-Z0-9~!@#$%^&*()-=_+{}\[\];:'\",.<>?]{32,})(\s*|$))",
         "credential",
         guards=("azure",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "STRIPE_CREDENTIALS",
@@ -166,6 +176,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"((\s*stripe(_?)public(_?)key\s*=\s*)(pk_test_[a-zA-Z0-9]{24})(\s*|$))",
         "credential",
         guards=("stripe",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "SSH_KEYS",
@@ -179,6 +190,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"(?i)\s*(twilio_?account_?sid|twilio_?auth_?token)\s*=\s*([a-zA-Z0-9]{32})\s*",
         "credential",
         guards=("twilio",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "CELERY_CREDENTIALS",
@@ -186,6 +198,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"[0-9]+/[a-zA-Z0-9_]+)(\s*|$)",
         "credential",
         guards=("celery",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "SENDGRID_CREDENTIALS",
@@ -193,6 +206,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"(SG\.[a-zA-Z0-9_]{22}\.[a-zA-Z0-9_]{43})(\s*|$)",
         "credential",
         guards=("grid",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "GCP_CREDENTIALS",
@@ -201,18 +215,21 @@ _CREDENTIALS: list[PatternSpec] = [
         r"(\s*((google|gcp).{0,20}?)\s*=\s*)\S{3,}(\s*|$)",
         "credential",
         guards=("google", "gcp"),
+        guards_all=("=",),
     ),
     PatternSpec(
         "AUTH0_CREDENTIALS",
         r"(?i)(\s*(auth0.{0,20}?)\s*=\s*)([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})(\s*|$)",
         "credential",
         guards=("auth0",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "SNOWFLAKE_CREDENTIALS",
         r"(?i)(\s*(snowflake.{0,20}?)\s*=\s*)\S{3,}(\s*|$)",
         "credential",
         guards=("snowflake",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "PRIVATE_CREDENTIALS",
@@ -237,6 +254,7 @@ _CREDENTIALS: list[PatternSpec] = [
             "client", "user", "account", "login", "sha", "auth", "token",
             "tenant", "secret", "api", "pwd", "username", "pass",
         ),
+        guards_all=("=",),
     ),
     PatternSpec(
         "OPENAI_KEY",
@@ -250,6 +268,7 @@ _CREDENTIALS: list[PatternSpec] = [
         r"github(_?)personal(_?)access(_?)token|github(_?)sha)\s*=\s*)([0-9a-zA-Z/+]{40})(\s*|$)",
         "credential",
         guards=("github",),
+        guards_all=("=",),
     ),
     PatternSpec(
         "IP_ADDRESSES",
