@@ -129,7 +129,6 @@ def process_document(url: str, text: str, t: QualityThresholds) -> dict:
         findings = None
 
     return {
-        "text": text,
         "lang_pred": lang,
         "perplexity": ppl,
         "n_words": nw,
@@ -152,9 +151,12 @@ def process_document(url: str, text: str, t: QualityThresholds) -> dict:
     }
 
 
+# NOTE: the extracted text itself is deliberately NOT in the result struct:
+# a UDF's output struct is Arrow-serialized whole (Catalyst cannot prune
+# struct fields out of a Python runner), and no sink consumes the raw text —
+# content_md5 and scrubbed_text carry everything downstream needs.
 FUSED_RESULT_TYPE = StructType(
     [
-        StructField("text", StringType()),
         StructField("lang_pred", StringType()),
         StructField("perplexity", DoubleType()),
         StructField("n_words", LongType()),

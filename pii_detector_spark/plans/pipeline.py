@@ -3,21 +3,21 @@ as one declarative DataFrame plan).
 
 Stage order and the reasoning at 100 TB:
 
-1. scan + pre-filters        — predicates push into the parquet/Iceberg scan
-2. resume anti-join          — broadcast; removes already-SCANNED urls
-3. text extraction (UDF)     — runs inside the scan stage at split
-                               granularity; no shuffle of html bytes
-4. drop(html)                — the wide binary column never crosses a stage
-                               boundary
-5. quality metrics           — JVM built-ins, whole-stage codegen
-6. langid + perplexity (UDF) — Arrow batches, models cached per executor
-7. keep/drop decision        — JVM `when` chain
-8. gated scrub (UDF)         — detection battery only on kept docs
-9. sinks                     — docs parquet written in the SAME single pass
-                               (findings ride along as an array column);
-                               findings/lineage/metrics derive from a cheap
-                               columnar re-read of the docs output, so the
-                               UDF stages run exactly once per document.
+1. scan + pre-filters     — predicates push into the parquet/Iceberg scan
+2. resume anti-join       — broadcast; removes already-SCANNED urls
+3. fused document UDF     — extraction + quality metrics + langid +
+                            perplexity + keep/drop + gated scrub in ONE
+                            Arrow round trip (operators/fused.py), running
+                            inside the scan stage at split granularity; the
+                            html/text payload never shuffles and crosses
+                            the JVM↔Python boundary exactly once
+4. sinks                  — docs parquet written in the SAME single pass
+                            (findings ride along as an array column);
+                            findings/lineage/metrics derive from a cheap
+                            columnar re-read of the docs output, so the UDF
+                            runs exactly once per document per pattern
+                            version. Output coalesced to ~4 files/core so
+                            the driver-serial commit never dominates.
 
 The only wide exchanges in the job are the metrics aggregations over the
 (tiny) per-partition counters.
