@@ -374,8 +374,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_docs_per_shingle=None: fully exact, matching the (uncapped) DuckDB
+    # oracle; production callers keep the default finite cap
     out = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.5,
+        max_docs_per_shingle=None,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -498,6 +503,131 @@ def q_pii_scrub_ssn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("findings")[0]["pii_region"].alias("pii_region"),
         F.col("findings")[0]["pii_data"].alias("pii_masked"),
     )
+
+
+def _scrub_findings_flat(docs: DataFrame) -> DataFrame:
+    """Run the real battery and flatten findings to one row per finding
+    (posexplode keeps the canonical finding order), with the full
+    post-processing surface: region, mask, score, custom flag, span."""
+    out = with_scrub(docs)
+    out = out.select(
+        "url",
+        "scrubbed_text",
+        F.size("findings").cast("long").alias("n_findings"),
+        F.posexplode("findings").alias("finding_idx", "f"),
+    )
+    return out.select(
+        "url",
+        F.col("finding_idx").cast("long").alias("finding_idx"),
+        F.col("f.pii_type").alias("pii_type"),
+        F.col("f.pii_region").alias("pii_region"),
+        F.col("f.pii_data").alias("pii_masked"),
+        F.col("f.score").alias("score"),
+        F.col("f.is_custom_regex").alias("is_custom_regex"),
+        F.col("f.start").cast("long").alias("f_start"),
+        F.col("f.end").cast("long").alias("f_end"),
+        "n_findings",
+        "scrubbed_text",
+    )
+
+
+def _custkey_docs(spark: SparkSession, sf_dir: str, text: F.Column) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("url"), text.alias("text")
+    )
+
+
+def q_pii_scrub_credit_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREDIT_CARD battery + overlap resolution: the 19-char card number
+    also contains a 12-digit IN_AADHAR match; the longer card span wins the
+    scrub (reference span dedup, hyperscan_service.py:62 generalized)."""
+    k = F.col("c_custkey")
+    g = (F.lit(1000) + k % 9000).cast("int")
+    card = F.format_string(
+        "4%03d-%04d-%04d-%04d", (F.lit(100) + k % 900).cast("int"), g, g, g
+    )
+    docs = _custkey_docs(
+        spark, sf_dir, F.concat(F.lit("card "), card, F.lit(" on file"))
+    )
+    return _scrub_findings_flat(docs)
+
+
+def q_pii_scrub_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN_CODE positive match (Norwegian shape — 'NO' keeps the token out
+    of the MEDICAL_LICENSE prefix class)."""
+    k = F.col("c_custkey")
+    iban = F.concat(
+        F.lit("NO"),
+        F.format_string("%02d", (F.lit(10) + k % 90).cast("int")),
+        F.format_string("%016d", k.cast("long")),
+    )
+    docs = _custkey_docs(
+        spark, sf_dir, F.concat(F.lit("iban "), iban, F.lit(" ok"))
+    )
+    return _scrub_findings_flat(docs)
+
+
+def q_pii_scrub_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP_ADDRESSES (credential-class, no guards — always scanned)."""
+    k = F.col("c_custkey")
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        (k % 200).cast("int"),
+        (k % 200).cast("int"),
+        (F.lit(1) + k % 200).cast("int"),
+    )
+    docs = _custkey_docs(
+        spark, sf_dir, F.concat(F.lit("server at "), ip, F.lit(" responded"))
+    )
+    return _scrub_findings_flat(docs)
+
+
+def q_pii_scrub_itin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """US_ITIN + the co-matching US_SSN on the same span: identical spans,
+    category order breaks the tie, so the SSN length-tier mask lands in the
+    scrubbed text while both findings are emitted."""
+    k = F.col("c_custkey")
+    itin = F.format_string(
+        "9%02d-7%d-%04d",
+        (k % 100).cast("int"),
+        (k % 10).cast("int"),
+        (F.lit(1000) + k % 9000).cast("int"),
+    )
+    docs = _custkey_docs(
+        spark, sf_dir, F.concat(F.lit("tax id "), itin, F.lit(" on record"))
+    )
+    return _scrub_findings_flat(docs)
+
+
+def q_pii_scrub_aws_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS_CREDENTIALS (AKIA access-key alternative): credential match spans
+    the whole assignment incl. key name (reference regex_patterns.py:55)."""
+    k = F.col("c_custkey")
+    key = F.concat(F.lit("AKIA"), F.format_string("%016d", k.cast("long")))
+    docs = _custkey_docs(
+        spark, sf_dir,
+        F.concat(F.lit("note aws_access_key = "), key, F.lit(" now")),
+    )
+    return _scrub_findings_flat(docs)
+
+
+def q_pii_scrub_github_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GITHUB_CREDENTIALS: 40-char token value; letters every 10th char keep
+    the tail out of IN_AADHAR's 12-digit window, so exactly one finding."""
+    k = F.col("c_custkey")
+    key = F.format_string(
+        "a%09db%09dc%09dd%09d",
+        ((k % 8) * 100000000 + k).cast("long"),
+        ((k % 8) * 100000000 + 12345).cast("long"),
+        ((k % 8) * 100000000 + 77).cast("long"),
+        ((k % 7) * 100000000 + k).cast("long"),
+    )
+    docs = _custkey_docs(
+        spark, sf_dir,
+        F.concat(F.lit("repo setting github_token = "), key, F.lit(" saved")),
+    )
+    return _scrub_findings_flat(docs)
 
 
 def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +756,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_doc_counts": q_host_doc_counts,
         "pii_scrub_email": q_pii_scrub_email,
         "pii_scrub_ssn": q_pii_scrub_ssn,
+        "pii_scrub_credit_card": q_pii_scrub_credit_card,
+        "pii_scrub_iban": q_pii_scrub_iban,
+        "pii_scrub_ip": q_pii_scrub_ip,
+        "pii_scrub_itin": q_pii_scrub_itin,
+        "pii_scrub_aws_key": q_pii_scrub_aws_key,
+        "pii_scrub_github_token": q_pii_scrub_github_token,
         "scrub_documents": q_scrub_documents,
         "langid_documents": q_langid_documents,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1132,6 +1268,122 @@ SELECT url,
   'USA' AS pii_region,
   masked AS pii_masked
 FROM m""",
+        # positive-match battery oracles: constructed tokens whose expected
+        # findings (category, span, mask, region, scrub) are SQL-derivable;
+        # offsets are constants because the printf formats are fixed-width
+        "pii_scrub_credit_card": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         printf('4%03d-%04d-%04d-%04d',
+                100 + c_custkey % 900,
+                1000 + c_custkey % 9000,
+                1000 + c_custkey % 9000,
+                1000 + c_custkey % 9000) AS card
+  FROM customer
+), s AS (
+  SELECT url, card,
+         'card ' || regexp_replace(card, '[A-Za-z0-9]', '*', 'g')
+           || ' on file' AS scrubbed
+  FROM d
+)
+SELECT url, 0::BIGINT AS finding_idx, 'IN_AADHAR' AS pii_type,
+       'India' AS pii_region,
+       regexp_replace(substr(card, 1, 14), '[A-Za-z0-9]', '*', 'g') AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       5::BIGINT AS f_start, 19::BIGINT AS f_end, 2::BIGINT AS n_findings,
+       scrubbed AS scrubbed_text
+FROM s
+UNION ALL
+SELECT url, 1::BIGINT, 'CREDIT_CARD', 'All',
+       regexp_replace(card, '[A-Za-z0-9]', '*', 'g'),
+       0.8::DOUBLE, FALSE, 5::BIGINT, 24::BIGINT, 2::BIGINT, scrubbed
+FROM s""",
+        "pii_scrub_iban": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         'NO' || printf('%02d', 10 + c_custkey % 90)
+              || printf('%016d', c_custkey) AS iban
+  FROM customer
+), s AS (
+  SELECT url, iban,
+         'iban ' || regexp_replace(iban, '[A-Za-z0-9]', '*', 'g')
+           || ' ok' AS scrubbed
+  FROM d
+)
+SELECT url, 0::BIGINT AS finding_idx, 'IN_AADHAR' AS pii_type,
+       'India' AS pii_region, repeat('*', 12) AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       7::BIGINT AS f_start, 19::BIGINT AS f_end, 2::BIGINT AS n_findings,
+       scrubbed AS scrubbed_text
+FROM s
+UNION ALL
+SELECT url, 1::BIGINT, 'IBAN_CODE', 'All', repeat('*', 20),
+       0.8::DOUBLE, FALSE, 5::BIGINT, 25::BIGINT, 2::BIGINT, scrubbed
+FROM s""",
+        "pii_scrub_ip": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         printf('10.%d.%d.%d', c_custkey % 200, c_custkey % 200,
+                1 + c_custkey % 200) AS ip
+  FROM customer
+)
+SELECT url, 0::BIGINT AS finding_idx, 'IP_ADDRESSES' AS pii_type,
+       'All' AS pii_region,
+       regexp_replace(ip, '[A-Za-z0-9]', '*', 'g') AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       10::BIGINT AS f_start, (10 + length(ip))::BIGINT AS f_end,
+       1::BIGINT AS n_findings,
+       'server at ' || regexp_replace(ip, '[A-Za-z0-9]', '*', 'g')
+         || ' responded' AS scrubbed_text
+FROM d""",
+        "pii_scrub_itin": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         printf('9%02d-7%d-%04d', c_custkey % 100, c_custkey % 10,
+                1000 + c_custkey % 9000) AS itin
+  FROM customer
+), s AS (
+  SELECT url, itin,
+         substr(itin, 1, 2)
+           || regexp_replace(substr(itin, 3, 7), '[A-Za-z0-9]', '*', 'g')
+           || substr(itin, 10, 2) AS ssn_mask
+  FROM d
+)
+SELECT url, 0::BIGINT AS finding_idx, 'US_SSN' AS pii_type,
+       'USA' AS pii_region, ssn_mask AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       7::BIGINT AS f_start, 18::BIGINT AS f_end, 2::BIGINT AS n_findings,
+       'tax id ' || ssn_mask || ' on record' AS scrubbed_text
+FROM s
+UNION ALL
+SELECT url, 1::BIGINT, 'US_ITIN', 'USA',
+       regexp_replace(itin, '[A-Za-z0-9]', '*', 'g'),
+       0.8::DOUBLE, FALSE, 7::BIGINT, 18::BIGINT, 2::BIGINT,
+       'tax id ' || ssn_mask || ' on record'
+FROM s""",
+        "pii_scrub_aws_key": """
+WITH d AS (SELECT c_custkey::VARCHAR AS url FROM customer)
+SELECT url, 0::BIGINT AS finding_idx, 'IN_AADHAR' AS pii_type,
+       'India' AS pii_region, repeat('*', 12) AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       26::BIGINT AS f_start, 38::BIGINT AS f_end, 2::BIGINT AS n_findings,
+       'note ***_******_*** = ' || repeat('*', 20) || ' now' AS scrubbed_text
+FROM d
+UNION ALL
+SELECT url, 1::BIGINT, 'AWS_CREDENTIALS', 'All',
+       ' ***_******_*** = ' || repeat('*', 20) || ' ',
+       0.8::DOUBLE, FALSE, 4::BIGINT, 43::BIGINT, 2::BIGINT,
+       'note ***_******_*** = ' || repeat('*', 20) || ' now'
+FROM d""",
+        "pii_scrub_github_token": """
+SELECT c_custkey::VARCHAR AS url, 0::BIGINT AS finding_idx,
+       'GITHUB_CREDENTIALS' AS pii_type, 'All' AS pii_region,
+       ' ******_***** = ' || repeat('*', 40) || ' ' AS pii_masked,
+       0.8::DOUBLE AS score, FALSE AS is_custom_regex,
+       12::BIGINT AS f_start, 69::BIGINT AS f_end, 1::BIGINT AS n_findings,
+       'repo setting ******_***** = ' || repeat('*', 40) || ' saved'
+         AS scrubbed_text
+FROM customer""",
         # documents are lowercase word-soup with no digits/'='/symbols → the
         # battery provably matches nothing; the oracle asserts exactly that
         "scrub_documents": """

@@ -181,7 +181,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.5,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = 256,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (no sketching): candidate pairs
     from a shared-shingle equi-join, jaccard from per-doc distinct counts.
@@ -192,8 +192,10 @@ def ngram_jaccard_pairs(
     shingles with document frequency > cap from *candidate generation only*;
     surviving candidates are then verified with exact Jaccard over the full
     shingle sets — a high-recall approximation in which a missed pair must
-    share nothing but boilerplate. Default None = fully exact single-pass
-    count (what the DuckDB oracle checks)."""
+    share nothing but boilerplate. The cap defaults ON (256) because the
+    uncapped join is a d² scale hazard at corpus size; pass None only where
+    a fully exact single-pass count is required (e.g. the DuckDB oracle
+    cross-check, which has no cap on its side)."""
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         shingles_col(shingle_n, text_col).alias("shingles"),

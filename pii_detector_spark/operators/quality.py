@@ -47,6 +47,18 @@ def _count_occurrences(col: Column, token: str) -> Column:
 # single non-whitespace char (negation of WS_CLASS)
 _NWS = "[^ \\t\\n\\r\\f\\u000B]"
 
+# non-whitespace AND non-letter: a "word" made only of these is letterless.
+# Used to count letterless words by subtraction (see alpha_word_frac below).
+_NWS_NO_LETTER = "[^ \\t\\n\\r\\f\\u000B\\p{L}]"
+
+# A maximal letterless word: a possessive run of non-letter non-ws chars with
+# whitespace (or string edge) on both sides. Possessive (`++`) + the
+# single-char lookarounds make the scan linear: a failed attempt never
+# backtracks into the run, and every in-run start offset fails the lookbehind
+# in O(1). The naive form `\\S*\\p{L}\\S*` is O(n^2) on a long letterless
+# blob (digit/punctuation dumps are common in web text).
+_LETTERLESS_WORD = f"(?<!{_NWS}){_NWS_NO_LETTER}++(?!{_NWS})"
+
 
 def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the heuristic metric columns.
@@ -109,22 +121,30 @@ def with_quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / nw,
             ).otherwise(F.lit(0.0)),
         )
+        # (?d) = UNIX_LINES: ^/$ anchor on \n only, matching the
+        # split('\n') semantics of the fused UDF, tests/oracle.py, and the
+        # DuckDB oracle. Without it Java's (?m) also anchors around \r /
+        # \u0085, \u2028 and \u2029, so CRLF web text ('foo...\r\n') would
+        # diverge between the JVM path and the fused pipeline path.
         .withColumn(
             "bullet_line_frac",
             F.when(
-                nl > 0, _count("(?m)^(?:- |\\* |• )") / nl
+                nl > 0, _count("(?dm)^(?:- |\\* |• )") / nl
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "ellipsis_line_frac",
             F.when(
-                nl > 0, _count("(?m)(?:\\.\\.\\.|…)$") / nl
+                nl > 0, _count("(?dm)(?:\\.\\.\\.|…)$") / nl
             ).otherwise(F.lit(0.0)),
         )
+        # words containing >=1 letter, by subtraction: n_words minus the
+        # count of fully letterless words (linear-time pattern, see
+        # _LETTERLESS_WORD above)
         .withColumn(
             "alpha_word_frac",
             F.when(
-                nw > 0, _count(f"{_NWS}*\\p{{L}}{_NWS}*") / nw
+                nw > 0, (nw - _count(_LETTERLESS_WORD)) / nw
             ).otherwise(F.lit(0.0)),
         )
         .withColumn(

@@ -60,9 +60,14 @@ def anti_join_completed(
         .select(F.col("url").alias(url_col))
         .distinct()
     )
-    # lineage is metadata-sized relative to the corpus; broadcast the anti
-    # side when it fits (AQE demotes to shuffle join if it doesn't)
-    return df.join(F.broadcast(done), on=url_col, how="left_anti")
+    # No broadcast hint: lineage holds one row per scanned url, so after the
+    # first full run it is CORPUS-cardinality, not metadata-sized — a forced
+    # F.broadcast(done) would OOM the driver at 10^9+ urls. Left unhinted,
+    # Catalyst broadcasts only while the done-set is under
+    # autoBroadcastJoinThreshold and AQE re-plans at runtime from actual
+    # shuffle sizes (including converting back to broadcast on the early,
+    # small runs). Correctness is identical either way.
+    return df.join(done, on=url_col, how="left_anti")
 
 
 def deleted_urls(

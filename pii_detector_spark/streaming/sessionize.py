@@ -11,8 +11,17 @@ State per user: (session_start_us, last_ts_us, n_events, total_value).
 Sessions close two ways:
 * in-data: a new event arrives more than ``gap`` after the previous one →
   the old session is emitted and a new one starts;
-* timeout: no event within ``gap`` of the watermark → ProcessingTime/
-  EventTime timeout fires and the open session is emitted.
+* timeout — mode selected by ``timeout``:
+  - ``"processing"`` (default): the open session closes after ``gap`` of
+    wall-clock silence. Right for live ingestion where event time tracks
+    arrival time.
+  - ``"event"``: the open session closes when the stream's WATERMARK passes
+    ``last_ts + gap``. This is the shape a replayed / backfilled event log
+    needs: a 100 TB replay pushes months of event time through minutes of
+    wall-clock, and a processing-time timeout would close sessions at
+    arbitrary wall-clock points instead of at true event-time gaps. The
+    input stream MUST carry ``withWatermark`` on its event-time column
+    (Spark requires a watermark for EventTimeTimeout).
 """
 
 from __future__ import annotations
@@ -50,8 +59,13 @@ STATE_SCHEMA = StructType(
 
 GAP_US_DEFAULT = 30 * 60 * 1_000_000  # 30 minutes
 
+TIMEOUT_MODES = {
+    "processing": GroupStateTimeout.ProcessingTimeTimeout,
+    "event": GroupStateTimeout.EventTimeTimeout,
+}
 
-def _sessionize_fn(gap_us: int):
+
+def _sessionize_fn(gap_us: int, event_time: bool):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -88,7 +102,12 @@ def _sessionize_fn(gap_us: int):
                 cur[3] += float(val)
             if cur is not None:
                 state.update(tuple(cur))
-                state.setTimeoutDuration(gap_us // 1000)
+                if event_time:
+                    # close when the WATERMARK (event time) passes
+                    # last_ts + gap — replay-safe; ms epoch expected
+                    state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+                else:
+                    state.setTimeoutDuration(gap_us // 1000)
 
         if closed:
             yield pd.DataFrame(
@@ -104,16 +123,25 @@ def _sessionize_fn(gap_us: int):
     return fn
 
 
-def sessionize(events: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_us: int = GAP_US_DEFAULT,
+    timeout: str = "processing",
+) -> DataFrame:
     """events(user_id, ts_us, value) stream → closed-session rows.
 
     Input must be a streaming DataFrame; use ``F.unix_micros`` upstream to
-    produce ``ts_us``.
+    produce ``ts_us``. For ``timeout="event"`` the input must also carry a
+    watermark (``df.withWatermark("ts", delay)``) — Spark rejects
+    EventTimeTimeout without one, and the watermark is what advances the
+    timeout clock during replays.
     """
+    if timeout not in TIMEOUT_MODES:
+        raise ValueError(f"timeout must be one of {sorted(TIMEOUT_MODES)}")
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_fn(gap_us),
+        _sessionize_fn(gap_us, event_time=(timeout == "event")),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=TIMEOUT_MODES[timeout],
     )

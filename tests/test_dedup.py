@@ -58,6 +58,39 @@ def test_ngram_jaccard_pairs(docs):
     assert all(4 not in p for p in pairs)
 
 
+def test_ngram_jaccard_cap_drops_boilerplate_only_pairs(spark):
+    from pii_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "accept all cookies to continue"
+    rows = [
+        Row(doc_id=1, text=f"{boiler} unique alpha text one two"),
+        Row(doc_id=2, text=f"{boiler} other beta content three four"),
+        Row(doc_id=3, text=f"{boiler} unique alpha text one two"),  # dup of 1
+        Row(doc_id=4, text=f"{boiler} gamma delta epsilon five six"),
+    ]
+    df = spark.createDataFrame(rows)
+    # cap=2: the boilerplate shingles (df=4) are excluded from candidate
+    # generation, so pairs sharing ONLY boilerplate disappear; the true dup
+    # pair (1,3) still surfaces through its unique shingles and is verified
+    # with full exact jaccard (=1.0)
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=3, threshold=0.2, max_docs_per_shingle=2
+        ).collect()
+    }
+    assert capped[(1, 3)] == 1.0
+    assert (1, 2) not in capped and (2, 4) not in capped
+    # exact mode keeps the boilerplate-only pairs
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=3, threshold=0.2, max_docs_per_shingle=None
+        ).collect()
+    }
+    assert (1, 2) in exact and (1, 3) in exact
+
+
 def test_simhash_similarity(docs):
     from pii_detector_spark.operators.dedup import simhash64
 

@@ -139,6 +139,35 @@ def test_resume_is_idempotent(spark, corpus_path, pipeline_out):
     assert res2.docs_written == 0
 
 
+def test_resume_join_not_forced_broadcast(spark):
+    """Lineage grows to corpus cardinality, so the resume anti-join must not
+    carry a broadcast HINT: when the done-set exceeds
+    autoBroadcastJoinThreshold the planner has to be free to pick a shuffle
+    join (a forced F.broadcast of 10^9 urls OOMs the driver). With the
+    threshold disabled, any BroadcastExchange in the plan can only come from
+    a hint."""
+    from pii_detector_spark.plans.checkpoint import anti_join_completed
+
+    df = spark.range(1000).selectExpr("concat('u', id) AS url", "id AS v")
+    lineage = spark.range(500).selectExpr(
+        "concat('u', id) AS url",
+        "'SCANNED' AS status",
+        "1 AS pattern_version",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            anti_join_completed(df, lineage, pattern_version=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in plan, plan
+        # and the join itself is still an anti join
+        assert "LeftAnti" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_resume_after_partial_run(spark, corpus_path, tmp_path_factory):
     """Kill-and-rerun: half the corpus first, then the whole thing; the
     final docs table equals one fresh full run (set-of-urls + keep flags)."""

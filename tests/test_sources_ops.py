@@ -100,13 +100,39 @@ class TestTabularScan:
         df = spark.createDataFrame(rows, "pk long, email string, ssn string, notes string")
         out = scan_table(df, "pk").collect()
         by_col = {(r.row_key, r.column_name, r.pii_type): r for r in out}
-        email = by_col[("1", "email", "EMAIL_ADDRESS")]
+        email = by_col[(1, "email", "EMAIL_ADDRESS")]
         assert email.pii_masked == oracle_mask(
             "EMAIL_ADDRESS", "john@mailhost.example.com"
         )
-        assert ("1", "ssn", "US_SSN") in by_col
+        assert (1, "ssn", "US_SSN") in by_col
         # clean row produces no findings
-        assert not any(r.row_key == "2" for r in out)
+        assert not any(r.row_key == 2 for r in out)
+
+    def test_row_key_with_delimiter_chars(self, spark):
+        """A row key containing '#' (or any delimiter) must not be truncated
+        or mis-attributed: attribution rides as real columns, not an encoded
+        string."""
+        from pii_detector_spark.operators.tabular import scan_table
+
+        rows = [
+            ("k#1#x", "john@mailhost.example.com", "clean"),
+            ("plain", "no pii", "123-45-6789"),
+        ]
+        df = spark.createDataFrame(rows, "pk string, email string, notes string")
+        out = scan_table(df, "pk").collect()
+        got = {(r.row_key, r.column_name, r.pii_type) for r in out}
+        assert ("k#1#x", "email", "EMAIL_ADDRESS") in got
+        assert ("plain", "notes", "US_SSN") in got
+        assert all(r.row_key in ("k#1#x", "plain") for r in out)
+
+    def test_melt_hostile_column_names(self, spark):
+        """Column names with quotes/backticks must melt cleanly (no SQL
+        string interpolation to break)."""
+        from pii_detector_spark.operators.tabular import melt_columns
+
+        df = spark.createDataFrame([(1, "a", "b")], ["pk", "we`ird", "qu'ote"])
+        got = {r.column_name: r.value for r in melt_columns(df, "pk").collect()}
+        assert got == {"we`ird": "a", "qu'ote": "b"}
 
     def test_id_columns_dropped(self, spark):
         from pii_detector_spark.operators.tabular import melt_columns
