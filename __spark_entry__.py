@@ -505,11 +505,11 @@ def q_pii_scrub_ssn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scrub_findings_flat(docs: DataFrame) -> DataFrame:
+def _scrub_findings_flat(docs: DataFrame, include_person: bool = False) -> DataFrame:
     """Run the real battery and flatten findings to one row per finding
     (posexplode keeps the canonical finding order), with the full
     post-processing surface: region, mask, score, custom flag, span."""
-    out = with_scrub(docs)
+    out = with_scrub(docs, include_person=include_person)
     out = out.select(
         "url",
         "scrubbed_text",
@@ -628,6 +628,27 @@ def q_pii_scrub_github_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("repo setting github_token = "), key, F.lit(" saved")),
     )
     return _scrub_findings_flat(docs)
+
+
+# gazetteer sample (all in functions/person.py FIRST_NAMES) + surnames
+_P_FIRSTS = ("Alice", "Brian", "Carol", "David", "Emma", "Frank", "Grace", "Henry")
+_P_LASTS = ("Walker", "Turner", "Brooks", "Morgan", "Hayes", "Carter", "Bennett", "Sloan")
+
+
+def q_pii_scrub_person(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSON NER analogue (P4) + score floor (F13) + the PERSON mask tier:
+    reference mitie_service.py:15-34 / data_analysis_service.py:140-147.
+    Expected finding is SQL-derivable: fixed prefix, name picked from a
+    fixed gazetteer slice by key."""
+    k = F.col("c_custkey")
+    idx = (k % 8 + 1).cast("int")
+    first = F.element_at(F.array(*[F.lit(n) for n in _P_FIRSTS]), idx)
+    last = F.element_at(F.array(*[F.lit(n) for n in _P_LASTS]), idx)
+    docs = _custkey_docs(
+        spark, sf_dir,
+        F.concat(F.lit("meeting with "), first, F.lit(" "), last, F.lit(" soon")),
+    )
+    return _scrub_findings_flat(docs, include_person=True)
 
 
 def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_itin": q_pii_scrub_itin,
         "pii_scrub_aws_key": q_pii_scrub_aws_key,
         "pii_scrub_github_token": q_pii_scrub_github_token,
+        "pii_scrub_person": q_pii_scrub_person,
         "scrub_documents": q_scrub_documents,
         "langid_documents": q_langid_documents,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1384,6 +1406,30 @@ SELECT c_custkey::VARCHAR AS url, 0::BIGINT AS finding_idx,
        'repo setting ******_***** = ' || repeat('*', 40) || ' saved'
          AS scrubbed_text
 FROM customer""",
+        "pii_scrub_person": """
+WITH d AS (
+  SELECT c_custkey::VARCHAR AS url,
+         list_extract(['Alice','Brian','Carol','David','Emma','Frank',
+                       'Grace','Henry'], 1 + c_custkey % 8)
+           || ' ' ||
+         list_extract(['Walker','Turner','Brooks','Morgan','Hayes','Carter',
+                       'Bennett','Sloan'], 1 + c_custkey % 8) AS person
+  FROM customer
+), m AS (
+  SELECT url, person,
+         substr(person, 1, 2)
+           || regexp_replace(substr(person, 3, length(person) - 4),
+                             '[A-Za-z0-9]', '*', 'g')
+           || substr(person, length(person) - 1, 2) AS masked
+  FROM d
+)
+SELECT url, 0::BIGINT AS finding_idx, 'PERSON' AS pii_type,
+       'All' AS pii_region, masked AS pii_masked,
+       0.9::DOUBLE AS score, TRUE AS is_custom_regex,
+       13::BIGINT AS f_start, (13 + length(person))::BIGINT AS f_end,
+       1::BIGINT AS n_findings,
+       'meeting with ' || masked || ' soon' AS scrubbed_text
+FROM m""",
         # documents are lowercase word-soup with no digits/'='/symbols → the
         # battery provably matches nothing; the oracle asserts exactly that
         "scrub_documents": """

@@ -121,7 +121,9 @@ def process_document(url: str, text: str, t: QualityThresholds) -> dict:
 
     keep = reason is None
     if keep:
-        matches = detect(text)
+        # include_person: first scans run the NER analogue, like the
+        # reference's MITIE pass (data_analysis_service.py:47-54)
+        matches = detect(text, include_person=True)
         scrubbed = scrub_text(text, matches)
         findings = build_findings(url, matches)
     else:

@@ -53,6 +53,11 @@ from pii_detector_spark.functions.masking import (
     mask_value,
     region_of,
 )
+from pii_detector_spark.functions.person import (
+    PERSON_ENTITY,
+    SCORE_FULL_NAME,
+    detect_person,
+)
 from pii_detector_spark.patterns import (
     compiled_battery,
     compiled_phi,
@@ -62,19 +67,30 @@ from pii_detector_spark.patterns import (
 # (category_index, name, start, end, value)
 Match = tuple[int, str, int, int, str]
 
+# PERSON precedes the battery: the reference emits NER findings first
+# (data_analysis_service.py:52-54, recognizer id 0 → analyzer.py:27), so the
+# PERSON pseudo-category sorts before every battery index in the canonical
+# order and in the scrub tie-break.
+PERSON_CATEGORY_INDEX = -1
+
 
 _DIGIT_RX = re.compile(r"\d")
 _UPPER_RX = re.compile(r"[A-Z]")
 
 
-def detect(text: str) -> list[Match]:
-    """All battery matches in canonical category order."""
+def detect(text: str, include_person: bool = False) -> list[Match]:
+    """All matches in canonical category order (PERSON first when enabled,
+    then the battery). ``include_person=False`` mirrors the reference's
+    rescan mode, which skips NER (data_analysis_service.py:47)."""
     if not text:
         return []
     out: list[Match] = []
     lowered = text.lower()
     has_digit = _DIGIT_RX.search(text) is not None
     has_upper = _UPPER_RX.search(text) is not None
+    if include_person and has_upper:  # names require a capital letter
+        for value, start, end, _score in detect_person(text):
+            out.append((PERSON_CATEGORY_INDEX, PERSON_ENTITY, start, end, value))
     exclude = compiled_secret_exclude()
     for idx, (spec, rx) in enumerate(compiled_battery()):
         if spec.needs_digit and not has_digit:
@@ -128,7 +144,14 @@ def scrub_text(text: str, matches: list[Match] | None = None) -> str:
 
 
 def build_findings(url: str, matches: list[Match]) -> list[dict]:
-    """Reference FileData records (``app/schemas/file_data.py:96-122``)."""
+    """Reference FileData records (``app/schemas/file_data.py:96-122``).
+
+    Scores: regex findings default to 0.8 (data_analysis_service.py:205's
+    no-score fallback); PERSON findings carry the detector's rounded model
+    score, which after the >=0.8 floor is always SCORE_FULL_NAME (0.9) in
+    the deterministic detector. PERSON is also is_custom_regex=True via
+    is_custom_entity — the reference omits 'PERSON' from system_entities
+    (regex_patterns.py:214-217), a quirk kept for parity."""
     recs = []
     for _, name, start, end, value in matches:
         recs.append(
@@ -136,7 +159,7 @@ def build_findings(url: str, matches: list[Match]) -> list[dict]:
                 "id": hash_value(f"{url}|{start}|{end}|{name}")[:32],
                 "pii_type": name,
                 "pii_region": region_of(name),
-                "score": DEFAULT_SCORE,
+                "score": SCORE_FULL_NAME if name == PERSON_ENTITY else DEFAULT_SCORE,
                 "is_custom_regex": is_custom_entity(name),
                 "pii_hash": hash_value(value),
                 "pii_data": mask_value(name, value),
@@ -175,66 +198,86 @@ SCRUB_RESULT_TYPE = StructType(
 )
 
 
-def _scrub_batch(urls: pd.Series, texts: pd.Series) -> pd.DataFrame:
-    scrubbed: list[str] = []
-    findings: list[list[dict]] = []
-    phi: list[bool] = []
-    for url, text in zip(urls, texts):
-        t = text or ""
-        matches = detect(t)
-        scrubbed.append(scrub_text(t, matches))
-        findings.append(build_findings(url or "", matches))
-        phi.append(is_phi(url or "", t))
-    return pd.DataFrame(
-        {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
-    )
+def _make_scrub_batch(include_person: bool):
+    def _scrub_batch(urls: pd.Series, texts: pd.Series) -> pd.DataFrame:
+        scrubbed: list[str] = []
+        findings: list[list[dict]] = []
+        phi: list[bool] = []
+        for url, text in zip(urls, texts):
+            t = text or ""
+            matches = detect(t, include_person=include_person)
+            scrubbed.append(scrub_text(t, matches))
+            findings.append(build_findings(url or "", matches))
+            phi.append(is_phi(url or "", t))
+        return pd.DataFrame(
+            {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
+        )
+
+    return _scrub_batch
 
 
-# Arrow-batched scalar pandas UDF: the battery compiles lazily once per
+# Arrow-batched scalar pandas UDFs: the battery compiles lazily once per
 # executor (lru_cache in patterns.py); each Arrow batch is one call.
 scrub_udf = F.pandas_udf(
-    _scrub_batch, returnType=SCRUB_RESULT_TYPE
+    _make_scrub_batch(include_person=False), returnType=SCRUB_RESULT_TYPE
+).asNondeterministic()
+
+scrub_person_udf = F.pandas_udf(
+    _make_scrub_batch(include_person=True), returnType=SCRUB_RESULT_TYPE
 ).asNondeterministic()
 
 
-def _scrub_batch_if(
-    urls: pd.Series, texts: pd.Series, keeps: pd.Series
-) -> pd.DataFrame:
-    """Gated variant: skip documents the quality gate already dropped.
+def _make_scrub_batch_if(include_person: bool):
+    def _scrub_batch_if(
+        urls: pd.Series, texts: pd.Series, keeps: pd.Series
+    ) -> pd.DataFrame:
+        """Gated variant: skip documents the quality gate already dropped.
 
-    One pass over the data instead of a filter→scrub→union re-scan; at
-    100 TB re-reading the corpus to stitch kept/dropped rows back together
-    would double the scan, so the gate rides inside the same Arrow batch.
-    """
-    scrubbed: list[str | None] = []
-    findings: list[list[dict] | None] = []
-    phi: list[bool] = []
-    for url, text, keep in zip(urls, texts, keeps):
-        t = text or ""
-        if not keep:
-            scrubbed.append(None)
-            findings.append(None)
+        One pass over the data instead of a filter→scrub→union re-scan; at
+        100 TB re-reading the corpus to stitch kept/dropped rows back
+        together would double the scan, so the gate rides inside the same
+        Arrow batch.
+        """
+        scrubbed: list[str | None] = []
+        findings: list[list[dict] | None] = []
+        phi: list[bool] = []
+        for url, text, keep in zip(urls, texts, keeps):
+            t = text or ""
+            if not keep:
+                scrubbed.append(None)
+                findings.append(None)
+                phi.append(is_phi(url or "", t))
+                continue
+            matches = detect(t, include_person=include_person)
+            scrubbed.append(scrub_text(t, matches))
+            findings.append(build_findings(url or "", matches))
             phi.append(is_phi(url or "", t))
-            continue
-        matches = detect(t)
-        scrubbed.append(scrub_text(t, matches))
-        findings.append(build_findings(url or "", matches))
-        phi.append(is_phi(url or "", t))
-    return pd.DataFrame(
-        {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
-    )
+        return pd.DataFrame(
+            {"scrubbed_text": scrubbed, "findings": findings, "is_phi": phi}
+        )
+
+    return _scrub_batch_if
 
 
 scrub_if_kept_udf = F.pandas_udf(
-    _scrub_batch_if, returnType=SCRUB_RESULT_TYPE
+    _make_scrub_batch_if(include_person=False), returnType=SCRUB_RESULT_TYPE
+).asNondeterministic()
+
+scrub_if_kept_person_udf = F.pandas_udf(
+    _make_scrub_batch_if(include_person=True), returnType=SCRUB_RESULT_TYPE
 ).asNondeterministic()
 
 
 def with_gated_scrub(
-    df, url_col: str = "url", text_col: str = "text", keep_col: str = "keep"
+    df,
+    url_col: str = "url",
+    text_col: str = "text",
+    keep_col: str = "keep",
+    include_person: bool = False,
 ):
     """Scrub only kept documents (single-pass; dropped rows get nulls)."""
-    res = scrub_if_kept_udf(F.col(url_col), F.col(text_col), F.col(keep_col))
+    udf = scrub_if_kept_person_udf if include_person else scrub_if_kept_udf
+    res = udf(F.col(url_col), F.col(text_col), F.col(keep_col))
     return (
         df.withColumn("_scrub", res)
         .withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
@@ -244,9 +287,18 @@ def with_gated_scrub(
     )
 
 
-def with_scrub(df, url_col: str = "url", text_col: str = "text"):
-    """Attach scrubbed_text / findings / is_phi columns to a documents df."""
-    res = scrub_udf(F.col(url_col), F.col(text_col))
+def with_scrub(
+    df,
+    url_col: str = "url",
+    text_col: str = "text",
+    include_person: bool = False,
+):
+    """Attach scrubbed_text / findings / is_phi columns to a documents df.
+
+    ``include_person=True`` adds the NER-analogue PERSON detector (P4/F13)
+    ahead of the battery, as the reference does on first scans."""
+    udf = scrub_person_udf if include_person else scrub_udf
+    res = udf(F.col(url_col), F.col(text_col))
     return (
         df.withColumn("_scrub", res)
         .withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))

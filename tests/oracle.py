@@ -23,6 +23,12 @@ from dataclasses import dataclass, field
 
 from pii_detector_spark.config import QualityThresholds
 from pii_detector_spark.functions.langmodels import perplexity, predict_lang
+from pii_detector_spark.functions.person import (
+    FIRST_NAMES,
+    MIN_PERSON_SCORE,
+    SCORE_FULL_NAME,
+    SCORE_LONE_FIRST_NAME,
+)
 from pii_detector_spark.functions.toxicity import TOXIC_SET
 from pii_detector_spark.operators.quality import (
     BULLET_PREFIXES,
@@ -70,8 +76,30 @@ def oracle_mask(entity: str, value: str) -> str:
     return stars(value)
 
 
-def oracle_detect(text: str) -> list[tuple[int, str, int, int, str]]:
+# capitalized token optionally followed by one more (the PERSON candidate
+# shape; FIRST_NAMES / score constants are shared data artifacts like the
+# regex strings — the decision loop below is independent)
+_CAPRUN = re.compile(r"\b([A-Z][a-z]+)((?:[ \t]+[A-Z][a-z]+)?)")
+
+
+def oracle_person(text: str) -> list[tuple[int, str, int, int, str]]:
     found = []
+    for m in _CAPRUN.finditer(text):
+        if m.group(1) not in FIRST_NAMES:
+            continue
+        score = SCORE_FULL_NAME if m.group(2) else SCORE_LONE_FIRST_NAME
+        if round(score, 1) < MIN_PERSON_SCORE:
+            continue
+        found.append((-1, "PERSON", m.start(), m.end(), m.group(0)))
+    return found
+
+
+def oracle_detect(
+    text: str, include_person: bool = False
+) -> list[tuple[int, str, int, int, str]]:
+    found = []
+    if include_person:
+        found.extend(oracle_person(text))
     for idx, name, kind, rx in _COMPILED:
         for m in rx.finditer(text):
             v = m.group(0)
@@ -83,14 +111,17 @@ def oracle_detect(text: str) -> list[tuple[int, str, int, int, str]]:
     return found
 
 
-def oracle_scrub(text: str) -> tuple[str, list[dict]]:
-    matches = oracle_detect(text)
+def oracle_scrub(
+    text: str, include_person: bool = False
+) -> tuple[str, list[dict]]:
+    matches = oracle_detect(text, include_person=include_person)
     findings = [
         {
             "pii_type": name,
             "pii_region": (
                 "USA" if name[:2] == "US" else "India" if name[:2] == "IN" else "All"
             ),
+            "score": SCORE_FULL_NAME if name == "PERSON" else 0.8,
             "pii_hash": hashlib.sha384(v.encode("utf-8")).hexdigest(),
             "pii_masked": oracle_mask(name, v),
             "start": s,
@@ -185,7 +216,10 @@ def oracle_decide(
         reason = "toxicity"
 
     keep = reason is None
-    scrubbed, findings = oracle_scrub(text) if keep else (None, [])
+    # include_person: mirrors the engine's first-scan NER pass (fused.py)
+    scrubbed, findings = (
+        oracle_scrub(text, include_person=True) if keep else (None, [])
+    )
     return OracleDoc(
         url=url,
         keep=keep,

@@ -84,6 +84,81 @@ def test_phi_flag():
         assert is_phi(url, text) == oracle_is_phi(url, text)
 
 
+class TestPersonNER:
+    """P4/F13 analogue: deterministic PERSON detector + score floor + the
+    US_SSN/PERSON mask tier (reference mitie_service.py:15-34,
+    data_analysis_service.py:140-147)."""
+
+    def test_full_name_detected_lone_name_filtered(self):
+        text = "please ask Alice Walker or Joe about the Meeting Notes"
+        persons = [m for m in detect(text, include_person=True) if m[1] == "PERSON"]
+        # 'Alice Walker' scores 0.9 (kept); lone 'Joe' scores 0.7 → dropped
+        # by the round(score,1) >= 0.8 floor; 'Meeting Notes' is capitalized
+        # but not gazetteer-led
+        assert [(m[4]) for m in persons] == ["Alice Walker"]
+        # battery-only mode emits nothing here
+        assert detect(text) == []
+
+    def test_person_finding_fields_and_mask_tier(self):
+        text = "handover from Alice Walker today"
+        fs = build_findings("u", detect(text, include_person=True))
+        assert len(fs) == 1
+        f = fs[0]
+        assert f["pii_type"] == "PERSON"
+        assert f["score"] == 0.9  # rounded model score, not the 0.8 default
+        # reference quirk: PERSON is missing from system_entities, so NER
+        # findings are flagged custom (regex_patterns.py:214-217)
+        assert f["is_custom_regex"] is True
+        assert f["pii_region"] == "All"
+        # len > 6 → first2 + starred middle (space kept) + last2
+        assert f["pii_data"] == "Al*** ****er"
+        assert scrub_text(text, detect(text, include_person=True)) == (
+            "handover from Al*** ****er today"
+        )
+
+    def test_short_name_mask_tiers(self):
+        # the PERSON tier shares US_SSN's length cutoffs
+        from pii_detector_spark.functions.masking import mask_value
+
+        assert mask_value("PERSON", "Joe") == "J**"            # <=4
+        assert mask_value("PERSON", "Joe Xu") == "Jo* **"      # <=6
+        assert mask_value("PERSON", "Alice Walker") == "Al*** ****er"
+
+    def test_person_parity_with_oracle(self):
+        docs = [
+            "please ask Alice Walker or Joe about the Meeting Notes",
+            "Emails: jwhite@domain.com from David Brooks, SSN 172-32-1176",
+            "JAMES SHOUTS and james whispers but James Whisper walks",
+            "Maria\nCarter split across lines stays two candidates",
+            "Jose  Morgan has two spaces; Walter\tTurner has a tab",
+        ]
+        for doc in docs:
+            assert _norm(detect(doc, include_person=True)) == _norm(
+                oracle_detect(doc, include_person=True)
+            ), doc
+            assert scrub_text(doc, detect(doc, include_person=True)) == (
+                oracle_scrub(doc, include_person=True)[0]
+            ), doc
+
+    def test_fused_pipeline_emits_person(self):
+        from pii_detector_spark.config import QualityThresholds
+        from pii_detector_spark.operators.fused import process_document
+
+        filler = (
+            "the team spent a long while reviewing the open items and it "
+            "was a productive day for everyone involved in that effort "
+        )
+        text = (
+            "the team met with Alice Walker to plan the release today "
+            + filler * 3
+        )
+        d = process_document("u", text, QualityThresholds())
+        assert d["keep"] is True
+        types = {f["pii_type"] for f in d["findings"]}
+        assert "PERSON" in types
+        assert "Al*** ****er" in d["scrubbed_text"]
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     st.text(
@@ -96,6 +171,9 @@ def test_phi_flag():
 def test_property_engine_equals_oracle(text):
     assert _norm(detect(text)) == _norm(oracle_detect(text))
     assert scrub_text(text) == oracle_scrub(text)[0]
+    m_p = detect(text, include_person=True)
+    assert _norm(m_p) == _norm(oracle_detect(text, include_person=True))
+    assert scrub_text(text, m_p) == oracle_scrub(text, include_person=True)[0]
 
 
 @settings(max_examples=60, deadline=None)
