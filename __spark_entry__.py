@@ -270,17 +270,17 @@ def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 LIMIT/OFFSET chunking, in-engine: row_number window + range filter
-    (page 3 of 500-row pages ordered by orderkey)."""
+    """L3 LIMIT/OFFSET chunking, in-engine and scale-safe: range-bucketed
+    pagination (plans/partitioning.page_by_key) — bucket histogram +
+    partition-pruned per-bucket row_number instead of a single-partition
+    global sort. Output identical to row_number() OVER (ORDER BY key)."""
+    from pii_detector_spark.plans.partitioning import page_by_key
+
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 1000) & (F.col("rn") <= 1500))
-        .select(
-            F.col("o_orderkey").cast("long").alias("o_orderkey"),
-            F.col("rn").cast("long").alias("rn"),
-        )
+    out = page_by_key(o, "o_orderkey", 1000, 1500, buckets=64)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("rn").cast("long").alias("rn"),
     )
 
 
@@ -364,6 +364,87 @@ def q_tabular_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pii_region",
         "pii_masked",
     )
+
+
+def q_explode_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 archive expansion incl. one nesting level: zips are built
+    in-engine (deterministic ZIP_STORED, fixed timestamps) from doc_ids, so
+    the exploded member rows are SQL-derivable."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from pii_detector_spark.sources.archives import explode_archives
+
+    def _zip_batch(ids):  # pd.Series -> pd.Series (pd imported locally)
+        out = []
+        for i in ids:
+            inner = io.BytesIO()
+            with zipfile.ZipFile(inner, "w", zipfile.ZIP_STORED) as z:
+                zi = zipfile.ZipInfo("deep.txt", date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(zi, f"deep {int(i) * 7}")
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+                zi = zipfile.ZipInfo(
+                    "member-0.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                z.writestr(zi, f"hello {int(i)}")
+                zi2 = zipfile.ZipInfo(
+                    "nested.zip", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                z.writestr(zi2, inner.getvalue())
+            out.append(buf.getvalue())
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.types import BinaryType
+
+    zip_udf = F.pandas_udf(_zip_batch, returnType=BinaryType())
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            F.concat(
+                F.lit("https://files.example.com/a"),
+                F.col("doc_id").cast("string"),
+                F.lit(".zip"),
+            ).alias("url"),
+            zip_udf(F.col("doc_id")).alias("payload"),
+        )
+    )
+    out = explode_archives(d, max_depth=2)
+    return out.select(
+        "archive_url",
+        "member_path",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.decode("payload", "utf-8").alias("member_text"),
+    )
+
+
+def q_extract_csv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 per-format extraction, CSV path: delimiter sniff + cells joined
+    with spaces, rows with newlines (reference file_service.py:353-390)."""
+    from pii_detector_spark.sources.files import with_file_text
+
+    c = _t(spark, sf_dir, "customer")
+    csv_str = F.concat(
+        F.lit("name,city\nuser"),
+        F.col("c_custkey").cast("string"),
+        F.lit(",city"),
+        F.col("c_custkey").cast("string"),
+        F.lit("\n"),
+    )
+    d = c.select(
+        F.concat(
+            F.lit("https://files.example.com/f"),
+            F.col("c_custkey").cast("string"),
+            F.lit(".csv"),
+        ).alias("url"),
+        F.encode(csv_str, "utf-8").alias("html"),
+    )
+    out = with_file_text(d)
+    return out.select("url", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -675,6 +756,34 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one planted sentence per supported language, none verbatim from the seed
+# corpus — the model must actually classify them (verified by pytest too)
+_LANG_PLANTS = (
+    ("de", "der alte mann ging langsam durch die stadt und kaufte frisches brot für seine familie"),
+    ("en", "the children walked to school in the morning and played games after their lessons were done"),
+    ("es", "los niños caminaron a la escuela por la mañana y jugaron juegos después de sus lecciones"),
+    ("fr", "les enfants sont allés à l'école le matin et ont joué à des jeux après leurs leçons"),
+    ("ru", "дети шли в школу утром и играли в игры после уроков в саду возле дома"),
+)
+
+
+def q_langid_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full rows+schema+hash langid oracle over a planted corpus: sentence
+    (and therefore expected label) is a pure function of doc_id, so DuckDB
+    derives the expected prediction without running the model."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.element_at(
+        F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    planted = d.select("doc_id", text.alias("text"))
+    out = with_langid(planted)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -766,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_classifiers": q_filename_classifiers,
         "custom_classifier_scrub": q_custom_classifier_scrub,
         "tabular_scan": q_tabular_scan,
+        "explode_archives": q_explode_archives,
+        "extract_csv_text": q_extract_csv_text,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -786,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_person": q_pii_scrub_person,
         "scrub_documents": q_scrub_documents,
         "langid_documents": q_langid_documents,
+        "langid_planted": q_langid_planted,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -1189,6 +1301,24 @@ SELECT row_key, 'ssn' AS column_name, 'US_SSN' AS pii_type,
          || regexp_replace(substr(ssn, 3, 7), '[A-Za-z0-9]', '*', 'g')
          || substr(ssn, 10, 2) AS pii_masked
 FROM base""",
+        "explode_archives": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+SELECT 'https://files.example.com/a' || doc_id::VARCHAR || '.zip' AS archive_url,
+       'member-0.txt' AS member_path, 1::BIGINT AS depth,
+       length('hello ' || doc_id::VARCHAR)::BIGINT AS n_bytes,
+       'hello ' || doc_id::VARCHAR AS member_text
+FROM d
+UNION ALL
+SELECT 'https://files.example.com/a' || doc_id::VARCHAR || '.zip/nested.zip',
+       'deep.txt', 2::BIGINT,
+       length('deep ' || (doc_id * 7)::VARCHAR)::BIGINT,
+       'deep ' || (doc_id * 7)::VARCHAR
+FROM d""",
+        "extract_csv_text": """
+SELECT 'https://files.example.com/f' || c_custkey::VARCHAR || '.csv' AS url,
+       'name city' || chr(10) || 'user' || c_custkey::VARCHAR || ' city'
+         || c_custkey::VARCHAR AS text
+FROM customer""",
         "events_windowed": """
 SELECT (epoch_us(ts) - epoch_us(ts) % 600000000)::BIGINT AS window_start_us,
        event_type, count(*)::BIGINT AS n_events,
@@ -1456,5 +1586,10 @@ f AS (
 SELECT doc_id::BIGINT AS media_id, i::BIGINT AS frame_idx,
        least(1024, nb - i * 1024)::BIGINT AS n_frame_bytes
 FROM f""",
-        # langid_documents: Python model artifacts — rows-only by design
+        # langid_documents: Python model artifacts — rows-only by design;
+        # langid_planted carries the full cross-engine check instead
+        "langid_planted": """
+SELECT doc_id::BIGINT AS doc_id,
+       list_extract(['de','en','es','fr','ru'], 1 + doc_id % 5) AS lang_pred
+FROM documents""",
     }

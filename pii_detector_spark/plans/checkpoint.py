@@ -88,6 +88,46 @@ def deleted_urls(
     )
 
 
+def gc_deleted_urls(
+    spark: SparkSession,
+    output_dir: str,
+    deleted: DataFrame,
+    tables: tuple[str, ...] = ("docs", "findings", "lineage"),
+) -> dict[str, int]:
+    """Apply the F7 GC set: remove every row whose url is in ``deleted``
+    from the downstream tables (reference delete flow,
+    ``base_scan_service.py:746-771``).
+
+    On Iceberg this is a single ``MERGE``/``DELETE WHERE`` per table with
+    snapshot isolation; plain parquet has no row deletes, so this is the
+    rewrite equivalent: anti-join each table against the deleted set, write
+    to a sibling temp dir, swap. The deleted set can be corpus-sized, so
+    the anti-join is unhinted (planner/AQE pick the strategy). Idempotent:
+    a second pass with the same source listing computes an empty set.
+
+    Returns rows-removed per table.
+    """
+    import shutil
+
+    removed: dict[str, int] = {}
+    dele = deleted.select("url").distinct()
+    for t in tables:
+        path = os.path.join(output_dir, t)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            continue
+        before = df.count()
+        kept = df.join(dele, "url", "left_anti")
+        tmp = path + "_gc_tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        removed[t] = before - after
+    return removed
+
+
 def build_lineage(
     docs: DataFrame, pattern_version: int, run_id: str
 ) -> DataFrame:

@@ -106,13 +106,22 @@ def run_pipeline(
     run_id: str = "run-0",
     resume: bool = True,
     extract_html: bool = True,
+    gc_deleted: bool = False,
 ) -> PipelineResult:
     """Batch scan job with checkpoint-resume; rerunning after a partial or
-    complete prior run processes only not-yet-SCANNED urls (idempotent)."""
+    complete prior run processes only not-yet-SCANNED urls (idempotent).
+
+    ``gc_deleted=True`` additionally applies F7 deleted-object GC after the
+    run: lineage urls absent from the current source listing are MERGE-
+    deleted (parquet-rewrite equivalent) from docs/findings/lineage, so a
+    url deleted at the source disappears downstream and would be rescanned
+    if it ever reappears."""
     raw = apply_prefilters(read_web_pages(spark, input_path))
     pending = raw
-    if resume:
+    lineage = None
+    if resume or gc_deleted:
         lineage = checkpoint.read_lineage(spark, output_dir)
+    if resume:
         pending = checkpoint.anti_join_completed(
             raw, lineage, config.pattern_version
         )
@@ -157,6 +166,11 @@ def run_pipeline(
     metrics_df = checkpoint.build_metrics(this_run, all_findings, run_id)
     metrics_rows = metrics_df.collect()
     metrics_df.write.mode("append").parquet(checkpoint.metrics_path(output_dir))
+
+    if gc_deleted and lineage is not None:
+        deleted = checkpoint.deleted_urls(lineage, raw)
+        if deleted is not None:
+            checkpoint.gc_deleted_urls(spark, output_dir, deleted)
 
     n = sum(r["docs_scanned"] for r in metrics_rows)
     return PipelineResult(

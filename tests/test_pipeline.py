@@ -139,6 +139,57 @@ def test_resume_is_idempotent(spark, corpus_path, pipeline_out):
     assert res2.docs_written == 0
 
 
+def test_gc_deleted_urls_merge_delete(spark, corpus_path, tmp_path_factory):
+    """F7 deleted-object GC: a url gone from the source is MERGE-deleted
+    from docs/findings/lineage; the pass is idempotent; and a url that
+    reappears later is rescanned (its lineage row is gone)."""
+    import pyarrow.parquet as pq_
+
+    out = str(tmp_path_factory.mktemp("gc_out"))
+    half_dir = tmp_path_factory.mktemp("gc_half")
+    t = pq_.read_table(corpus_path)
+    half = t.slice(0, t.num_rows // 2)
+    pq_.write_table(half, str(half_dir / "half.parquet"))
+
+    # full scan, then the source shrinks to half and we GC
+    run_pipeline(spark, corpus_path, out, run_id="g1")
+    docs_before = spark.read.parquet(os.path.join(out, "docs")).count()
+    res2 = run_pipeline(
+        spark, str(half_dir / "half.parquet"), out, run_id="g2", gc_deleted=True
+    )
+    assert res2.docs_written == 0  # nothing new to scan
+
+    kept_urls = {
+        r["url"] for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    half_urls = set(half.column("url").to_pylist())
+    # docs now contain only urls surviving at the source (pre-filtered
+    # subset of the half listing)
+    assert kept_urls <= half_urls
+    assert len(kept_urls) < docs_before
+    lineage_urls = {
+        r["url"] for r in spark.read.parquet(os.path.join(out, "lineage")).collect()
+    }
+    assert lineage_urls == kept_urls
+    findings_urls = {
+        r["url"] for r in spark.read.parquet(os.path.join(out, "findings")).collect()
+    }
+    assert findings_urls <= kept_urls
+
+    # idempotent: same listing again → nothing changes
+    run_pipeline(
+        spark, str(half_dir / "half.parquet"), out, run_id="g3", gc_deleted=True
+    )
+    kept2 = {
+        r["url"] for r in spark.read.parquet(os.path.join(out, "docs")).collect()
+    }
+    assert kept2 == kept_urls
+
+    # the deleted urls reappear → resume rescans them (lineage rows gone)
+    res4 = run_pipeline(spark, corpus_path, out, run_id="g4")
+    assert res4.docs_written == docs_before - len(kept_urls)
+
+
 def test_resume_join_not_forced_broadcast(spark):
     """Lineage grows to corpus cardinality, so the resume anti-join must not
     carry a broadcast HINT: when the done-set exceeds
