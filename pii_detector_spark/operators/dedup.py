@@ -25,6 +25,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pii_detector_spark.plans.partitioning import ensure_min_parallelism
+
+
+def _slim_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id:long, _text) projection, repartitioned only if the scan is
+    pathologically under-split (single-row-group parquet → one task): the
+    shingling/tokenize stages below are CPU-bound per row and must use
+    every core. Well-split inputs pass through with no shuffle."""
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+    )
+    return ensure_min_parallelism(slim, "doc_id")
+
 
 def words_col(text_col: str = "text") -> Column:
     """ASCII-whitespace tokenization, empties dropped (same spec as
@@ -36,16 +50,22 @@ def words_col(text_col: str = "text") -> Column:
 
 
 def shingles_col(n: int, text_col: str = "text") -> Column:
-    """Distinct word n-gram shingles as an array column (no shuffle)."""
-    words = words_col(text_col)
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    """Distinct word n-gram shingles as an array column (no shuffle).
+
+    Implementation: normalize whitespace runs to single spaces, then pull
+    every overlapping n-gram with a zero-width lookahead capture
+    (``(?<![^ ])(?=(w w w))`` fires once per word start). This keeps the
+    whole computation inside whole-stage codegen — the previous
+    ``transform(sequence, slice+array_join)`` form used higher-order array
+    functions, which Spark evaluates INTERPRETED per element and which
+    dominated the dedup scan (~5x slower end-to-end; same trap as the
+    quality_metrics history in BENCH/PLANS.md). Output is identical:
+    n-grams joined by single spaces, distinct, document order.
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), "[ \\t\\n\\r\\f\\u000B]+", " "))
+    body = " ".join(["[^ ]+"] * n)
+    rx = f"(?<![^ ])(?=({body}))"
+    return F.array_distinct(F.regexp_extract_all(norm, F.lit(rx), F.lit(1)))
 
 
 def exact_dedup(
@@ -107,10 +127,11 @@ def minhash_lsh_pairs(
     """
     rows = bands
     per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_col(shingle_n, text_col).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    base = (
+        _slim_docs(df, id_col, text_col)
+        .select("doc_id", shingles_col(shingle_n, "_text").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
     # signatures from the exploded relation: the shingle construction runs
     # exactly once, and the k min-aggregates are a single whole-stage-codegen
     # pass with map-side partial aggregation (vs k× interpreted array scans
@@ -196,10 +217,11 @@ def ngram_jaccard_pairs(
     uncapped join is a d² scale hazard at corpus size; pass None only where
     a fully exact single-pass count is required (e.g. the DuckDB oracle
     cross-check, which has no cap on its side)."""
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        shingles_col(shingle_n, text_col).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    base = (
+        _slim_docs(df, id_col, text_col)
+        .select("doc_id", shingles_col(shingle_n, "_text").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
     sizes = base.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = base.select(
         "doc_id", F.explode("shingles").alias("shingle")
@@ -277,6 +299,10 @@ def simhash64(
     only (doc_id, 8-byte hash) rows — never text — and the 60 conditional
     sums are a single aggregation pass (whole-stage codegen).
     """
+    # no repartition guard here: the map side is one codegen md5 per word
+    # (cheap), and the grouped aggregation's shuffle already spreads the
+    # heavy 60-vote stage across the cluster — a pre-shuffle of the text
+    # costs more than it saves (measured: 0.9s vs 2.4s at sf0.1)
     tok = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(F.array_distinct(words_col(text_col))).alias("w"),

@@ -32,6 +32,25 @@ def salted_repartition(
     return df.repartition(num_partitions, F.xxhash64(F.col(key_col)))
 
 
+def ensure_min_parallelism(
+    df: DataFrame, key_col: str, min_partitions: int | None = None
+) -> DataFrame:
+    """Repartition ONLY when the input is pathologically under-split.
+
+    A parquet file written as one big row group scans as ONE task no matter
+    how many cores exist (a row group is the atomic split unit), so every
+    per-row stage downstream runs single-threaded. When the scan has fewer
+    partitions than the cluster's default parallelism, redistribute by the
+    hashed unique key; otherwise return the input untouched — at corpus
+    scale inputs arrive well-split and the shuffle would move the whole
+    table for nothing. The check is metadata-only (no job)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, F.xxhash64(F.col(key_col)))
+
+
 def page_by_key(
     df: DataFrame,
     key_col: str,
