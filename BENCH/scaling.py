@@ -52,6 +52,36 @@ def run_level(cpus: int, docs: int, runs: int) -> dict:
     return r
 
 
+def run_interleaved(lo: int, hi: int, docs: int, rounds: int) -> None:
+    """Single-run pairs, levels alternated back-to-back so both sample the
+    SAME co-tenant load regime (the block design lets an external load
+    spike land on one level only). Prints per-pair efficiency + median."""
+    effs = []
+    for i in range(rounds):
+        load = open("/proc/loadavg").read().split()[0]
+        rl = run_level_now(lo, docs, 1)
+        rh = run_level_now(hi, docs, 1)
+        dl = rl["n_docs"] / min(rl["pipeline_runs_sec"])
+        dh = rh["n_docs"] / min(rh["pipeline_runs_sec"])
+        eff = (dh / dl) / (hi / lo)
+        effs.append(eff)
+        print(f"pair {i}: {dl:.1f} -> {dh:.1f} docs/s, eff {eff:.3f} "
+              f"(load {load})", flush=True)
+    effs.sort()
+    print(f"median efficiency over {rounds} pairs: {effs[len(effs)//2]:.3f}")
+
+
+def run_level_now(cpus: int, docs: int, runs: int) -> dict:
+    """run_level without the quiet-window wait (interleaved mode measures
+    under whatever load exists — both levels see it equally)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only",
+         "--cpus", str(cpus), "--docs", str(docs), "--runs", str(runs)],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=80_000)
@@ -59,7 +89,16 @@ def main() -> None:
     ap.add_argument("--pairs", default="2:8,4:16,8:32")
     ap.add_argument("--passes", type=int, default=2,
                     help="interleaved passes per level; best docs/s kept")
+    ap.add_argument("--interleave", action="store_true",
+                    help="single-run alternated pairs for the first pair in "
+                         "--pairs; report per-pair + median efficiency")
+    ap.add_argument("--rounds", type=int, default=6)
     args = ap.parse_args()
+
+    if args.interleave:
+        lo, hi = (int(x) for x in args.pairs.split(",")[0].split(":"))
+        run_interleaved(lo, hi, args.docs, args.rounds)
+        return
 
     pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
     levels = sorted({c for p in pairs for c in p})
