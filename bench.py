@@ -44,8 +44,11 @@ HEADLINE_QUERIES = (
     "token_counts",
     "quality_keep",
     "scrub_documents",
+    "pii_scrub_person",
     "ann_lsh",
     "embedding_neardup",
+    "media_features",
+    "frame_sampling",
 )
 
 

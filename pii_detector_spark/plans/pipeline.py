@@ -89,6 +89,61 @@ def transform_web_pages(
     return with_fused_processing(df, config.quality)
 
 
+def write_run_outputs(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_dir: str,
+    run_id: str,
+    pattern_version: int,
+) -> int:
+    """Write the four sinks (docs / findings / lineage / metrics) for one
+    processed batch of fused-UDF output; returns docs written.
+
+    Shared by the batch job (`run_pipeline`) and the Structured Streaming
+    job (`streaming/incremental.incremental_pipeline` via foreachBatch) —
+    the microbatch DataFrame goes through the identical sink path, so both
+    runtimes produce the same tables.
+    """
+    docs = docs.withColumn("run_id", F.lit(run_id))
+    docs_path = os.path.join(output_dir, "docs")
+    findings_path = os.path.join(output_dir, "findings")
+
+    # output sizing: one file per final partition — cap at ~4 files/core so
+    # the (driver-serial) commit protocol doesn't become the Amdahl tail
+    # while tasks stay balanced. coalesce (not repartition): no shuffle of
+    # the wide text/findings columns; the UDF stage simply runs on the
+    # merged splits.
+    n_out = 4 * spark.sparkContext.defaultParallelism
+    docs = docs.coalesce(n_out)
+
+    # single computation pass → docs parquet (findings array rides along)
+    docs.select("run_id", *DOC_COLUMNS, "findings").write.mode(
+        "append"
+    ).parquet(docs_path)
+
+    # everything downstream reads the columnar output back — no UDF re-run
+    this_run = spark.read.parquet(docs_path).filter(F.col("run_id") == run_id)
+
+    findings = findings_table(
+        this_run.filter(F.col("findings").isNotNull()).select("url", "findings")
+    ).withColumn("run_id", F.lit(run_id))
+    findings.write.mode("append").parquet(findings_path)
+
+    checkpoint.build_lineage(
+        this_run, pattern_version, run_id
+    ).write.mode("append").parquet(checkpoint.lineage_path(output_dir))
+
+    all_findings = spark.read.parquet(findings_path).filter(
+        F.col("run_id") == run_id
+    )
+    # build_metrics materializes the (tiny) counters driver-side; reuse them
+    # for docs_written instead of a separate count() scan of the docs output
+    metrics_df = checkpoint.build_metrics(this_run, all_findings, run_id)
+    metrics_rows = metrics_df.collect()
+    metrics_df.write.mode("append").parquet(checkpoint.metrics_path(output_dir))
+    return sum(r["docs_scanned"] for r in metrics_rows)
+
+
 @dataclass
 class PipelineResult:
     docs_path: str
@@ -128,54 +183,18 @@ def run_pipeline(
 
     docs = transform_web_pages(
         pending, config, extract_html=extract_html, prefilter=False
-    ).withColumn("run_id", F.lit(run_id))
-
-    docs_path = os.path.join(output_dir, "docs")
-    findings_path = os.path.join(output_dir, "findings")
-
-    # output sizing: one file per final partition — cap at ~4 files/core so
-    # the (driver-serial) commit protocol doesn't become the Amdahl tail
-    # while tasks stay balanced. coalesce (not repartition): no shuffle of
-    # the wide text/findings columns; the UDF stage simply runs on the
-    # merged splits.
-    n_out = 4 * spark.sparkContext.defaultParallelism
-    docs = docs.coalesce(n_out)
-
-    # single computation pass → docs parquet (findings array rides along)
-    docs.select("run_id", *DOC_COLUMNS, "findings").write.mode(
-        "append"
-    ).parquet(docs_path)
-
-    # everything downstream reads the columnar output back — no UDF re-run
-    this_run = spark.read.parquet(docs_path).filter(F.col("run_id") == run_id)
-
-    findings = findings_table(
-        this_run.filter(F.col("findings").isNotNull()).select("url", "findings")
-    ).withColumn("run_id", F.lit(run_id))
-    findings.write.mode("append").parquet(findings_path)
-
-    checkpoint.build_lineage(
-        this_run, config.pattern_version, run_id
-    ).write.mode("append").parquet(checkpoint.lineage_path(output_dir))
-
-    all_findings = spark.read.parquet(findings_path).filter(
-        F.col("run_id") == run_id
     )
-    # build_metrics materializes the (tiny) counters driver-side; reuse them
-    # for docs_written instead of a separate count() scan of the docs output
-    metrics_df = checkpoint.build_metrics(this_run, all_findings, run_id)
-    metrics_rows = metrics_df.collect()
-    metrics_df.write.mode("append").parquet(checkpoint.metrics_path(output_dir))
+
+    n = write_run_outputs(spark, docs, output_dir, run_id, config.pattern_version)
 
     if gc_deleted and lineage is not None:
         deleted = checkpoint.deleted_urls(lineage, raw)
         if deleted is not None:
             checkpoint.gc_deleted_urls(spark, output_dir, deleted)
 
-    n = sum(r["docs_scanned"] for r in metrics_rows)
     return PipelineResult(
-        docs_path=docs_path,
-        findings_path=findings_path,
+        docs_path=os.path.join(output_dir, "docs"),
+        findings_path=os.path.join(output_dir, "findings"),
         lineage_path=checkpoint.lineage_path(output_dir),
         metrics_path=checkpoint.metrics_path(output_dir),
         docs_written=n,

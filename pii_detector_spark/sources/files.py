@@ -10,18 +10,29 @@ Spark-first:
   length, content) mapped into the web_pages shape — Spark's file listing
   replaces the reference's paginated S3 enumeration (S1), and pushdown of
   ``pathGlobFilter``/``modifiedAfter`` replaces its client-side filters.
-* extraction = a pandas UDF over the content bytes. CSV and plain text are
-  implemented (pure pandas/stdlib, same sniff order as the reference:
-  delimiters ``, ; | \\t`` × encodings utf-8/latin-1 — ``file_service.py:25-26``);
-  PDF/XLSX/DOCX/DOC need PyPDF2/openpyxl/python-docx/antiword, which are not
-  in this environment — those formats raise ``NotImplementedError`` at the
-  exact dispatch seam where the libraries would plug in.
+* extraction = a pandas UDF over the content bytes.
+  - CSV and plain text: pure pandas/stdlib, same sniff order as the
+    reference (delimiters ``, ; | \\t`` × encodings utf-8/latin-1 —
+    ``file_service.py:25-26``).
+  - DOCX and XLSX: stdlib implementations (both formats are zipped XML —
+    ``zipfile`` + ``ElementTree`` replace python-docx/openpyxl). DOCX
+    follows the reference's paragraph semantics (non-empty paragraph texts
+    joined with newlines, ``file_service.py:392-396``); XLSX walks every
+    sheet in order, resolving shared strings, cells joined with spaces and
+    rows with newlines — the same one-scannable-string shape as the CSV
+    path (the reference concatenates all sheets, ``:369-375``).
+  - PDF and legacy .doc genuinely need PyPDF2/antiword (binary formats,
+    not available here) — those two raise ``NotImplementedError`` at the
+    exact dispatch seam where the libraries would plug in.
 """
 
 from __future__ import annotations
 
 import csv
 import io
+import re as _re
+import zipfile
+from xml.etree import ElementTree
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -31,7 +42,78 @@ from pyspark.sql.types import StringType
 CSV_DELIMITERS = (",", ";", "|", "\t")  # reference file_service.py:25
 CSV_ENCODINGS = ("utf-8", "latin-1")  # reference file_service.py:26
 
-UNSUPPORTED_BINARY = (".pdf", ".xlsx", ".xls", ".docx", ".doc")
+UNSUPPORTED_BINARY = (".pdf", ".doc", ".xls")  # need PyPDF2/antiword/xlrd
+
+_DOCX_P = "}p"  # wordprocessingml paragraph / text local names
+_DOCX_T = "}t"
+
+
+def extract_docx_text(data: bytes) -> str:
+    """DOCX → text with the reference's python-docx semantics: for each
+    paragraph, concatenate its runs' text; keep non-empty paragraphs;
+    join with newlines (``file_service.py:392-396``)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        root = ElementTree.fromstring(z.read("word/document.xml"))
+    paragraphs: list[str] = []
+    for p in root.iter():
+        if not p.tag.endswith(_DOCX_P):
+            continue
+        text = "".join(
+            t.text or "" for t in p.iter() if t.tag.endswith(_DOCX_T)
+        )
+        if text:
+            paragraphs.append(text)
+    return "\n".join(paragraphs)
+
+
+def _xlsx_cell_text(c, shared: list[str]) -> str:
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(
+            x.text or "" for x in c.iter() if x.tag.endswith("}t")
+        )
+    v = next((x for x in c.iter() if x.tag.endswith("}v")), None)
+    if v is None or v.text is None:
+        return ""
+    if t == "s":
+        try:
+            return shared[int(v.text)]
+        except (ValueError, IndexError):
+            return ""
+    return v.text
+
+
+def extract_xlsx_text(data: bytes) -> str:
+    """XLSX → one scannable string: every sheet in archive order, cells
+    joined with spaces, rows with newlines (the reference concatenates all
+    sheets into one frame, ``file_service.py:369-375``)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sroot = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sroot:
+                shared.append(
+                    "".join(
+                        t.text or "" for t in si.iter() if t.tag.endswith("}t")
+                    )
+                )
+        lines: list[str] = []
+        sheet_rx = _re.compile(r"^xl/worksheets/sheet\d+\.xml$")
+        for name in sorted(n for n in names if sheet_rx.match(n)):
+            root = ElementTree.fromstring(z.read(name))
+            for row in root.iter():
+                if not row.tag.endswith("}row"):
+                    continue
+                cells = [
+                    _xlsx_cell_text(c, shared)
+                    for c in row
+                    if c.tag.endswith("}c")
+                ]
+                line = " ".join(x for x in cells if x)
+                if line:
+                    lines.append(line)
+    return "\n".join(lines)
 
 
 def read_binary_files(
@@ -76,10 +158,14 @@ def extract_file_text(name: str, data: bytes | None) -> str:
     low = (name or "").lower()
     if low.endswith(".csv"):
         return extract_csv_text(bytes(data))
+    if low.endswith(".docx"):
+        return extract_docx_text(bytes(data))
+    if low.endswith(".xlsx"):
+        return extract_xlsx_text(bytes(data))
     if low.endswith(UNSUPPORTED_BINARY):
         raise NotImplementedError(
-            f"{low.rsplit('.', 1)[-1]} extraction requires PyPDF2/openpyxl/"
-            "python-docx/antiword (not available in this environment)"
+            f"{low.rsplit('.', 1)[-1]} extraction requires PyPDF2/antiword/"
+            "xlrd (not available in this environment)"
         )
     # fallback: decode with replacement (reference file_service.py:415)
     return bytes(data).decode("utf-8", errors="replace")

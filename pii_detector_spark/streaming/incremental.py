@@ -52,6 +52,53 @@ def incremental_scan(
     q.awaitTermination()
 
 
+def incremental_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    run_prefix: str = "stream",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """The FULL quality-filter + scrub pipeline as a Structured Streaming
+    job: every microbatch runs the fused UDF and writes all four sinks
+    (docs / findings / lineage / metrics) through the same
+    ``write_run_outputs`` path as the batch job, via ``foreachBatch``.
+
+    AvailableNow semantics: each invocation drains exactly the files that
+    arrived since the last checkpoint, then exits — the streaming-native
+    resume (file-level progress in the checkpoint replaces the batch
+    anti-join; both produce identical tables, run_id = ``prefix-batchId``).
+    """
+    from pii_detector_spark.plans.pipeline import write_run_outputs
+
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    docs = transform_web_pages(stream, config)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_run_outputs(
+            spark,
+            batch_df,
+            output_dir,
+            f"{run_prefix}-{batch_id}",
+            config.pattern_version,
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(output_dir, "_pipeline_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_event_metrics(events: DataFrame) -> DataFrame:
     """10-minute tumbling-window event counts with a 30-minute watermark
     (batch-compatible: works on a static events DataFrame too)."""

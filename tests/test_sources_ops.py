@@ -89,6 +89,92 @@ class TestFileExtraction:
         assert got["b.txt"] == "ssn 123-45-6789 here"
 
 
+class TestOfficeExtraction:
+    """DOCX/XLSX are zipped XML — stdlib extraction, reference semantics
+    (file_service.py:369-375,392-396). Fixtures built in-test with zipfile."""
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def _docx(self) -> bytes:
+        import io
+        import zipfile
+
+        doc = f"""<?xml version="1.0"?>
+<w:document xmlns:w="{self.W}"><w:body>
+<w:p><w:r><w:t>contact </w:t></w:r><w:r><w:t>jane@mailhost.example.com</w:t></w:r></w:p>
+<w:p><w:r><w:t></w:t></w:r></w:p>
+<w:p><w:r><w:t>second paragraph</w:t></w:r></w:p>
+</w:body></w:document>"""
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+            z.writestr("word/document.xml", doc)
+        return buf.getvalue()
+
+    def _xlsx(self) -> bytes:
+        import io
+        import zipfile
+
+        shared = f"""<?xml version="1.0"?>
+<sst xmlns="{self.S}"><si><t>ssn</t></si><si><t>172-32-1176</t></si></sst>"""
+        sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{self.S}"><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+<row r="2"><c r="A2"><v>42</v></c><c r="B2" t="inlineStr"><is><t>inline text</t></is></c></row>
+</sheetData></worksheet>"""
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+            z.writestr("xl/sharedStrings.xml", shared)
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        return buf.getvalue()
+
+    def test_docx_paragraph_semantics(self):
+        from pii_detector_spark.sources.files import extract_file_text
+
+        text = extract_file_text("report.docx", self._docx())
+        # runs concatenated per paragraph; empty paragraph dropped;
+        # paragraphs joined with newlines
+        assert text == (
+            "contact jane@mailhost.example.com\nsecond paragraph"
+        )
+
+    def test_xlsx_cells_and_shared_strings(self):
+        from pii_detector_spark.sources.files import extract_file_text
+
+        text = extract_file_text("book.xlsx", self._xlsx())
+        assert text == "ssn 172-32-1176\n42 inline text"
+
+    def test_office_files_feed_the_battery(self, spark, tmp_path):
+        from pii_detector_spark.operators.scrub import with_scrub
+        from pii_detector_spark.sources.files import (
+            read_binary_files,
+            with_file_text,
+        )
+
+        (tmp_path / "r.docx").write_bytes(self._docx())
+        (tmp_path / "b.xlsx").write_bytes(self._xlsx())
+        df = with_file_text(read_binary_files(spark, str(tmp_path)))
+        out = with_scrub(df)
+        found = {
+            (r.url.rsplit("/", 1)[-1], f.pii_type)
+            for r in out.collect()
+            for f in (r.findings or [])
+        }
+        assert ("r.docx", "EMAIL_ADDRESS") in found
+        assert ("b.xlsx", "US_SSN") in found
+
+    def test_pdf_and_doc_still_stubbed(self):
+        import pytest as _pytest
+
+        from pii_detector_spark.sources.files import extract_file_text
+
+        for name in ("x.pdf", "x.doc", "x.xls"):
+            with _pytest.raises(NotImplementedError):
+                extract_file_text(name, b"anything")
+
+
 class TestTabularScan:
     def test_column_attribution(self, spark):
         from pii_detector_spark.operators.tabular import scan_table

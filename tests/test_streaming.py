@@ -133,6 +133,59 @@ def test_sessionize_rejects_unknown_timeout(spark):
         sessionize(df, timeout="bogus")
 
 
+def test_incremental_pipeline_matches_batch(spark, corpus_path, tmp_path):
+    """Full pipeline as a streaming job: two AvailableNow invocations over
+    a growing input dir produce the same docs table as one batch run, and
+    a drained re-invocation adds nothing."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from pii_detector_spark.plans.pipeline import run_pipeline
+    from pii_detector_spark.streaming.incremental import incremental_pipeline
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    out = str(tmp_path / "stream_out")
+    t = pq_.read_table(corpus_path)
+    half = t.num_rows // 2
+    pq_.write_table(t.slice(0, half), str(src / "part-a.parquet"))
+
+    incremental_pipeline(spark, str(src), out, run_prefix="s1")
+    docs1 = spark.read.parquet(os.path.join(out, "docs"))
+    n1 = docs1.count()
+    assert n1 > 0
+
+    # second file lands; next invocation drains only the delta
+    pq_.write_table(t.slice(half), str(src / "part-b.parquet"))
+    incremental_pipeline(spark, str(src), out, run_prefix="s2")
+    docs2 = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs2.count() > n1
+
+    # drained: re-invoking adds nothing
+    incremental_pipeline(spark, str(src), out, run_prefix="s3")
+    docs3 = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs3.count() == docs2.count()
+
+    # batch equivalence: same urls, keep flags, scrubbed text
+    batch_out = str(tmp_path / "batch_out")
+    run_pipeline(spark, corpus_path, batch_out, run_id="b1")
+    a = {
+        (r["url"], r["keep"], r["scrubbed_text"])
+        for r in docs3.select("url", "keep", "scrubbed_text").collect()
+    }
+    b = {
+        (r["url"], r["keep"], r["scrubbed_text"])
+        for r in spark.read.parquet(os.path.join(batch_out, "docs"))
+        .select("url", "keep", "scrubbed_text")
+        .collect()
+    }
+    assert a == b
+    # all four sinks exist with rows
+    for tbl in ("findings", "lineage", "metrics"):
+        assert spark.read.parquet(os.path.join(out, tbl)).count() > 0
+
+
 def test_windowed_event_metrics_batch_equivalence(spark, sf_dir="/root/testdata/sf0.001"):
     from pii_detector_spark.streaming.incremental import windowed_event_metrics
 
