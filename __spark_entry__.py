@@ -422,6 +422,75 @@ def q_explode_archives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 office extraction (stdlib DOCX/XLSX): documents built in-engine
+    as deterministic zipped XML; extracted text is SQL-derivable."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from pii_detector_spark.sources.files import extract_file_text
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def _extract_batch(urls, ids):
+        texts = []
+        for url, i in zip(urls, ids):
+            i = int(i)
+            if str(url).endswith(".docx"):
+                doc = (
+                    f'<?xml version="1.0"?><w:document xmlns:w="{W}"><w:body>'
+                    f"<w:p><w:r><w:t>memo </w:t></w:r><w:r><w:t>{i}</w:t></w:r></w:p>"
+                    f"<w:p><w:r><w:t>total {i * 3}</w:t></w:r></w:p>"
+                    "</w:body></w:document>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    z.writestr("word/document.xml", doc)
+                data = buf.getvalue()
+            else:
+                shared = (
+                    f'<?xml version="1.0"?><sst xmlns="{S}">'
+                    f"<si><t>row{i}</t></si></sst>"
+                )
+                sheet = (
+                    f'<?xml version="1.0"?><worksheet xmlns="{S}"><sheetData>'
+                    f'<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                    f'<c r="B1"><v>{i * 7}</v></c></row>'
+                    "</sheetData></worksheet>"
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    z.writestr("xl/sharedStrings.xml", shared)
+                    z.writestr("xl/worksheets/sheet1.xml", sheet)
+                data = buf.getvalue()
+            texts.append(extract_file_text(str(url), data))
+        return pd.Series(texts, dtype="object")
+
+    office_udf = F.pandas_udf(_extract_batch, returnType="string")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    both = d.select(
+        F.concat(
+            F.lit("https://files.example.com/m"),
+            F.col("doc_id").cast("string"),
+            F.lit(".docx"),
+        ).alias("url"),
+        F.col("doc_id"),
+    ).unionByName(
+        d.select(
+            F.concat(
+                F.lit("https://files.example.com/b"),
+                F.col("doc_id").cast("string"),
+                F.lit(".xlsx"),
+            ).alias("url"),
+            F.col("doc_id"),
+        )
+    )
+    return both.select("url", office_udf("url", "doc_id").alias("text"))
+
+
 def q_extract_csv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 per-format extraction, CSV path: delimiter sniff + cells joined
     with spaces, rows with newlines (reference file_service.py:353-390)."""
@@ -998,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tabular_scan": q_tabular_scan,
         "explode_archives": q_explode_archives,
         "extract_csv_text": q_extract_csv_text,
+        "extract_office_text": q_extract_office_text,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1442,6 +1512,16 @@ SELECT 'https://files.example.com/f' || c_custkey::VARCHAR || '.csv' AS url,
        'name city' || chr(10) || 'user' || c_custkey::VARCHAR || ' city'
          || c_custkey::VARCHAR AS text
 FROM customer""",
+        "extract_office_text": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50)
+SELECT 'https://files.example.com/m' || doc_id::VARCHAR || '.docx' AS url,
+       'memo ' || doc_id::VARCHAR || chr(10) || 'total '
+         || (doc_id * 3)::VARCHAR AS text
+FROM d
+UNION ALL
+SELECT 'https://files.example.com/b' || doc_id::VARCHAR || '.xlsx',
+       'row' || doc_id::VARCHAR || ' ' || (doc_id * 7)::VARCHAR
+FROM d""",
         "events_windowed": """
 SELECT (epoch_us(ts) - epoch_us(ts) % 600000000)::BIGINT AS window_start_us,
        event_type, count(*)::BIGINT AS n_events,

@@ -65,7 +65,10 @@ def melt_columns(
 
 
 def scan_table(
-    df: DataFrame, key_col: str, value_cols: list[str] | None = None
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str] | None = None,
+    include_person: bool = False,
 ) -> DataFrame:
     """Per-cell PII findings for a tabular source.
 
@@ -89,6 +92,9 @@ def scan_table(
         ),
         url_col="_cell_url",
         text_col="value",
+        # the reference runs NER on DB scans too (non-rescan); off by
+        # default here so cell scans stay regex-only unless asked
+        include_person=include_person,
     )
     return scanned.select(
         "row_key", "column_name", F.explode("findings").alias("f")
