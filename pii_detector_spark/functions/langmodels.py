@@ -152,20 +152,55 @@ def _combined_profile():
     return index, mat
 
 
+@lru_cache(maxsize=1)
+def _fast_scorer():
+    """Vectorized trigram scorer, numerically identical to the dict path.
+
+    * char → small id via a dense ord→id table over the full Unicode range
+      (1 MB int8-ish gather, exact: every unknown codepoint maps to OOV 0),
+    * trigram id = ((a*K)+b)*K+c looked up in a dense int32 table whose
+      unfilled entries are 0 — exactly ``index.get(tri, 0)``, because a
+      trigram containing any OOV char can never equal a profile trigram's
+      id (profile ids never use 0 in any position),
+    * the per-language sum stays ``mat[rows].sum(axis=0)`` in document
+      order, so scores are bit-identical to the per-trigram dict loop
+      (pinned by tests/test_langid.py::test_fast_scorer_matches_dict_path).
+
+    ~3 MB of tables per executor; built once per process (lru_cache).
+    """
+    import numpy as np
+
+    index, mat = _combined_profile()
+    chars = sorted({c for tri in index for c in tri})
+    K = len(chars) + 1  # id 0 = OOV
+    char_table = np.zeros(0x110000, dtype=np.int32)
+    for i, c in enumerate(chars):
+        char_table[ord(c)] = i + 1
+    char_id = {c: i + 1 for i, c in enumerate(chars)}
+    lookup = np.zeros(K * K * K, dtype=np.int32)
+    for tri, row in index.items():
+        a, b, c = (char_id[x] for x in tri)
+        lookup[(a * K + b) * K + c] = row
+    return char_table, K, lookup, mat
+
+
 def predict_lang(text: str) -> str:
     """argmax language by mean trigram log-prob; 'unk' for tiny docs."""
     if not text:
         return "unk"
-    tris = []
-    for tri in _trigrams(text[:_MAX_DOC_CHARS]):
-        tris.append(tri)
-    if len(tris) < 5:
-        return "unk"
     import numpy as np
 
-    index, mat = _combined_profile()
-    get = index.get
-    rows = np.fromiter((get(t, 0) for t in tris), dtype=np.int64, count=len(tris))
+    char_table, K, lookup, mat = _fast_scorer()
+    s = " " + _DIGITS.sub("0", text[:_MAX_DOC_CHARS].lower()) + " "
+    if len(s) - 2 < 5:
+        return "unk"
+    # errors="replace": lone surrogates become '?', which is not a profile
+    # character, so such trigrams hit OOV row 0 — same as the dict path
+    codes = np.frombuffer(
+        s.encode("utf-32-le", "replace"), dtype="<u4"
+    ).astype(np.int64)
+    ids = char_table[codes]
+    rows = lookup[(ids[:-2] * K + ids[1:-1]) * K + ids[2:]]
     scores = mat[rows].sum(axis=0)
     return LANGS[int(scores.argmax())]
 
@@ -193,23 +228,43 @@ def _bigram_lm() -> tuple[dict[str, float], dict[str, float], float]:
     return logp, floors, global_floor
 
 
-def perplexity(text: str) -> float:
-    """Char-bigram perplexity of the doc vs the English seed LM.
+@lru_cache(maxsize=1)
+def _fast_lm():
+    """Dense (K×K) bigram log-prob table with the fallback chain baked in:
+    cell (a,b) = logp(ab) if seen, else floor(a), else global floor; OOV
+    chars map to id 0 whose whole row is the global floor. Every cell
+    equals what the dict-get chain returns for that pair, so only the
+    float summation order differs from the old loop (pairwise vs
+    sequential — same single implementation is used engine- and
+    oracle-side, so no cross-implementation drift exists)."""
+    import numpy as np
 
-    (Measured: the dict-get loop beats a numpy gather here — building the
-    row-index array costs more than the float accumulation it saves.)
-    """
+    logp, floors, global_floor = _bigram_lm()
+    chars = sorted({c for pair in logp for c in pair} | set(floors))
+    K = len(chars) + 1  # id 0 = OOV
+    char_id = {c: i + 1 for i, c in enumerate(chars)}
+    char_table = np.zeros(0x110000, dtype=np.int32)
+    for c, i in char_id.items():
+        char_table[ord(c)] = i
+    table = np.full((K, K), global_floor, dtype=np.float64)
+    for c, f in floors.items():
+        table[char_id[c], :] = f
+    for pair, lp in logp.items():
+        table[char_id[pair[0]], char_id[pair[1]]] = lp
+    return char_table, K, table
+
+
+def perplexity(text: str) -> float:
+    """Char-bigram perplexity of the doc vs the English seed LM."""
     if not text or len(text) < 2:
         return float("inf")
-    logp, floors, global_floor = _bigram_lm()
+    import numpy as np
+
+    char_table, K, table = _fast_lm()
     s = _DIGITS.sub("0", text[:_MAX_DOC_CHARS].lower())
-    total = 0.0
-    n = 0
-    for i in range(len(s) - 1):
-        pair = s[i : i + 2]
-        lp = logp.get(pair)
-        if lp is None:
-            lp = floors.get(pair[0], global_floor)
-        total += lp
-        n += 1
-    return math.exp(-total / n)
+    codes = np.frombuffer(
+        s.encode("utf-32-le", "replace"), dtype="<u4"
+    ).astype(np.int64)
+    ids = char_table[codes]
+    lps = table[ids[:-1], ids[1:]]
+    return math.exp(-float(lps.sum()) / len(lps))
