@@ -1010,6 +1010,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with exhaustive probing (n_probe = n_cells): the clustering
+    machinery (deterministic seeding, fixed-point Lloyd step, cell join)
+    runs for real, and the result is provably the exact top-k — so the
+    brute-force SQL is a valid full oracle."""
+    e = _emb(spark, sf_dir)
+    out = similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), dim=64,
+        n_cells=8, n_probe=8, k=3, iters=1,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.embedding_neardup_pairs(
         _emb(spark, sf_dir), dim=64, threshold=0.4, n_planes=6
@@ -1093,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_planted": q_langid_planted,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "frame_sampling": q_frame_sampling,
@@ -1896,6 +1915,8 @@ SELECT doc_id::BIGINT AS doc_id, CAST(0 AS BIGINT) AS n_findings,
 FROM documents""",
         "ann_bruteforce": _ann_bruteforce_sql(3, 8),
         "ann_lsh": _ann_lsh_sql(64, 3, 6, 8, 8),
+        # exhaustive-probe IVF == exact top-k → brute-force SQL is the oracle
+        "ann_ivf": _ann_bruteforce_sql(3, 8),
         "embedding_neardup": _neardup_sql(64, 0.4, 6),
         "media_features": """
 SELECT doc_id::BIGINT AS media_id, 'image' AS kind,

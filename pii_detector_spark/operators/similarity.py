@@ -170,6 +170,126 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) cells: deterministic k-means.
+
+    The scale path complementing ``lsh_bucket_topk``: centroids are learned
+    (``iters`` Lloyd steps) instead of fixed hyperplanes, so cells adapt to
+    the embedding distribution; queries probe their ``n_probe`` nearest
+    cells and score only those cells' vectors.
+
+    Determinism (no Date/now, no RNG): seed centroids are the vectors of
+    the ``n_cells`` ids with the smallest ``md5(vec_id)``; per-cell means
+    sum members in vec_id order. Everything data-sized stays distributed —
+    only centroid matrices (n_cells × dim floats) touch the driver.
+    Assignment is an Arrow-batched pandas UDF doing one numpy argmin per
+    batch (a JVM expression form would be ``n_cells × dim`` interpreted
+    higher-order ops per row — the known non-codegen trap).
+    """
+    import hashlib as _hl
+
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    seeds = (
+        c.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.array([list(r["vec"]) for r in seeds], dtype=np.float64)
+
+    def _assign_udf(cent: np.ndarray):
+        b = F.pandas_udf(
+            lambda vecs: pd.Series(
+                np.argmin(
+                    (
+                        (np.stack(vecs.map(np.asarray).to_numpy())[:, None, :]
+                         - cent[None, :, :]) ** 2
+                    ).sum(axis=2),
+                    axis=1,
+                ).astype(np.int64)
+            ) if len(vecs) else pd.Series([], dtype="int64"),
+            returnType="long",
+        )
+        return b
+
+    # fixed-point quantization (2^20) makes the distributed per-cell sums
+    # integer and therefore associative — identical centroids on every run
+    # regardless of partition/merge order (float sums are not)
+    Q = 1 << 20
+    for _ in range(iters):
+        assigned = c.withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+        sums = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * Q).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_c = centroids.copy()  # empty cells keep their old centroid
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["s"]
+            cnt[r["cell"]] = r["n"]  # one exploded row per member per pos
+        for cell in acc:
+            new_c[cell] = acc[cell] / (max(cnt[cell], 1) * Q)
+        centroids = new_c
+
+    assigned = c.withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+
+    def _probe_udf(cent: np.ndarray, p: int):
+        def fn(vecs):  # pd.Series -> pd.Series (pd local to ivf_topk)
+            if not len(vecs):
+                return pd.Series([], dtype="object")
+            X = np.stack(vecs.map(np.asarray).to_numpy())
+            d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :p]
+            return pd.Series(list(order.astype(np.int64)))
+
+        return F.pandas_udf(fn, returnType="array<long>")
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    ).withColumn(
+        "cell", F.explode(_probe_udf(centroids, n_probe)(F.col("qvec")))
+    )
+    cand = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,

@@ -79,3 +79,59 @@ def test_embedding_neardup(vecs):
     assert (1, 5) in pairs
     assert (1, 4) not in pairs
     assert (1, 3) not in pairs
+
+
+def test_ivf_topk_exhaustive_probe_equals_bruteforce(spark):
+    """Probing every cell makes IVF exact: candidate set = whole corpus,
+    so top-k must equal brute force."""
+    from pyspark.sql import functions as F
+
+    from pii_detector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter("vec_id < 6")
+    exact = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_topk(
+            emb, q, dim=64, n_cells=8, n_probe=8, k=3, iters=1
+        ).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_topk_deterministic_and_recalls(spark):
+    from pyspark.sql import functions as F
+
+    from pii_detector_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter("vec_id < 8")
+    r1 = ivf_topk(emb, q, dim=64, n_cells=16, n_probe=4, k=3).collect()
+    r2 = ivf_topk(emb, q, dim=64, n_cells=16, n_probe=4, k=3).collect()
+    # fixed-point centroid sums → bit-identical output across runs
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=3).collect()
+    }
+    iv = {(r["query_id"], r["vec_id"]) for r in r1}
+    assert len(bf & iv) / len(bf) >= 0.5  # probing 4/16 cells
+    # every query returns a full top-k
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in r1)
+    assert all(v == 3 for v in per_q.values())
