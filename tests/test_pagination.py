@@ -61,3 +61,20 @@ def test_page_by_key_plan_has_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
     # the window is bucket-partitioned
     assert "Window" in plan
+
+
+def test_ensure_min_parallelism_guard(spark):
+    """Repartitions only pathologically under-split inputs."""
+    from pii_detector_spark.plans.partitioning import ensure_min_parallelism
+
+    # single-partition source → spread to default parallelism
+    one = spark.createDataFrame([(i,) for i in range(100)], "k long").coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    fixed = ensure_min_parallelism(one, "k")
+    assert fixed.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert fixed.count() == 100
+
+    # already-split source → untouched (no shuffle inserted)
+    many = spark.createDataFrame([(i,) for i in range(100)], "k long").repartition(16)
+    out = ensure_min_parallelism(many, "k", min_partitions=8)
+    assert out is many
