@@ -52,6 +52,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Scan + under-split guard: the sf testdata parquet is written as one
+    row group, which scans as ONE task; CPU-bound per-row stages (pandas
+    UDF battery, quality regexes) must spread across cores. No-op on
+    well-split inputs (plans/partitioning.ensure_min_parallelism)."""
+    from pii_detector_spark.plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, name), key)
+
+
 def _docs_as_web_pages(docs: DataFrame) -> DataFrame:
     """Map the testdata documents table into the web_pages input shape."""
     return docs.select(
@@ -562,7 +572,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_quality_metrics(_t(spark, sf_dir, "documents"))
+    d = with_quality_metrics(_t_wide(spark, sf_dir, "documents", "doc_id"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_words",
@@ -582,7 +592,7 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic-rule keep/drop (SQL-expressible subset: language/perplexity
     rules neutralized via stub columns; the full chain is pytest-verified)."""
-    d = with_quality_metrics(_t(spark, sf_dir, "documents"))
+    d = with_quality_metrics(_t_wide(spark, sf_dir, "documents", "doc_id"))
     d = d.withColumn("lang_pred", F.lit("en")).withColumn(
         "perplexity", F.lit(0.0)
     )
@@ -682,7 +692,7 @@ def _scrub_findings_flat(docs: DataFrame, include_person: bool = False) -> DataF
 
 
 def _custkey_docs(spark: SparkSession, sf_dir: str, text: F.Column) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
+    c = _t_wide(spark, sf_dir, "customer", "c_custkey")
     return c.select(
         F.col("c_custkey").cast("string").alias("url"), text.alias("text")
     )
@@ -924,7 +934,7 @@ def q_pii_scrub_person(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full battery over the documents corpus (free text path)."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").cast("string").alias("url"), "text", "doc_id"
     )
     out = with_scrub(d)
@@ -938,7 +948,7 @@ def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + perplexity models (Python artifacts → rows-only)."""
-    d = with_langid(_t(spark, sf_dir, "documents"))
+    d = with_langid(_t_wide(spark, sf_dir, "documents", "doc_id"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang_pred",

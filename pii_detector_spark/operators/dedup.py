@@ -116,6 +116,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
 
@@ -124,6 +125,15 @@ def minhash_lsh_pairs(
     Jaccard over shingle sets. Only candidate pairs ever join the (small)
     shingle arrays back — at 10^12 docs the band join moves signatures, not
     documents.
+
+    ``persist_signatures``: the band self-join references the signature
+    relation on both sides, and Catalyst does not reuse the exchange across
+    the differing projections — unpersisted, the whole shingle+minhash
+    computation runs TWICE (measured 2x end-to-end). MEMORY_AND_DISK
+    persist caches it once per job; storage is (num_hashes x 32 B + the
+    shingle set) per doc and spills to disk at corpus scale. Pass False to
+    trade recompute for zero cache footprint; the cached relation is
+    evicted LRU or via ``spark.catalog.clearCache()``.
     """
     rows = bands
     per_band = num_hashes // bands
@@ -146,6 +156,10 @@ def minhash_lsh_pairs(
         ],
         F.collect_set("s").alias("shingles"),
     )
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
     band_structs = [
         F.struct(
