@@ -560,6 +560,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (boilerplate) detection: shingles shared by >= 2 docs
+    with document frequency — the C4-style span-dedup primitive."""
+    out = dedup.boilerplate_shingles(
+        _t(spark, sf_dir, "documents"), shingle_n=3, min_doc_freq=2
+    )
+    return out.select(
+        "shingle_md5",
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("first_doc_id").cast("long").alias("first_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis operators
 
@@ -1100,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "boilerplate_shingles": q_boilerplate_shingles,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "quality_metrics": q_quality_metrics,
@@ -1595,6 +1609,12 @@ SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
 FROM documents GROUP BY 1""",
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
         "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
+        "boilerplate_shingles": f"""
+WITH {_shingles_cte(3).lstrip()},
+ex AS (SELECT doc_id, md5(unnest(shingles)) AS shingle_md5 FROM nz)
+SELECT shingle_md5, count(*)::BIGINT AS doc_freq,
+       min(doc_id)::BIGINT AS first_doc_id
+FROM ex GROUP BY 1 HAVING count(*) >= 2""",
         "simhash": _simhash_sql(),
         "token_counts": f"""
 SELECT doc_id::BIGINT AS doc_id,

@@ -303,6 +303,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated n-gram spans: shingles appearing in >= min_doc_freq
+    distinct documents, with document frequency and the first document id.
+
+    The C4/Lee-et-al-style span-dedup primitive (repeated boilerplate —
+    cookie banners, license headers — is exactly what detonates naive
+    near-dup joins; this surfaces it). One explode + one hash-keyed groupBy
+    with map-side partial aggregation; the shuffle carries (32-char md5,
+    doc_id), never text. Returns (shingle_md5, doc_freq, first_doc_id).
+    """
+    base = (
+        _slim_docs(df, id_col, text_col)
+        .select("doc_id", shingles_col(shingle_n, "_text").alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    ex = base.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("shingle_md5")
+    )
+    return (
+        ex.groupBy("shingle_md5")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

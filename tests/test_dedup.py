@@ -121,3 +121,20 @@ def test_shingles_expression(spark):
     assert sorted(rows[0]["s"]) == ["a b", "b c", "c d"]
     assert rows[1]["s"] == []
     assert rows[2]["s"] == []
+
+
+def test_boilerplate_shingles(spark):
+    from pii_detector_spark.operators.dedup import boilerplate_shingles
+
+    boiler = "accept all cookies to continue browsing"
+    rows = [
+        Row(doc_id=1, text=f"{boiler} unique alpha text one"),
+        Row(doc_id=2, text=f"{boiler} other beta content two"),
+        Row(doc_id=3, text="entirely unrelated content about spark plans"),
+    ]
+    out = boilerplate_shingles(
+        spark.createDataFrame(rows), shingle_n=3, min_doc_freq=2
+    ).collect()
+    # the boilerplate prefix yields 4 shared trigrams; each seen in docs 1+2
+    assert len(out) == 4
+    assert all(r["doc_freq"] == 2 and r["first_doc_id"] == 1 for r in out)
