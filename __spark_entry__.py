@@ -560,6 +560,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over a corpus with planted
+    repeated lines: the two boilerplate lines appear in every doc (df = N)
+    and are removed; the two per-doc lines survive in order."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.lit("accept cookies to continue\ndoc body "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nall rights reserved\nunique tail "),
+        (F.col("doc_id") * 7).cast("string"),
+    )
+    planted = d.select("doc_id", text.alias("text"))
+    out = dedup.remove_boilerplate_lines(planted, min_doc_freq=2)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
 def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span (boilerplate) detection: shingles shared by >= 2 docs
     with document frequency — the C4-style span-dedup primitive."""
@@ -1114,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "boilerplate_shingles": q_boilerplate_shingles,
+        "remove_boilerplate_lines": q_remove_boilerplate_lines,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "quality_metrics": q_quality_metrics,
@@ -1609,6 +1626,11 @@ SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
 FROM documents GROUP BY 1""",
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
         "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
+        "remove_boilerplate_lines": """
+SELECT doc_id::BIGINT AS doc_id,
+       'doc body ' || doc_id::VARCHAR || chr(10) || 'unique tail '
+         || (doc_id * 7)::VARCHAR AS text
+FROM documents""",
         "boilerplate_shingles": f"""
 WITH {_shingles_cte(3).lstrip()},
 ex AS (SELECT doc_id, md5(unnest(shingles)) AS shingle_md5 FROM nz)

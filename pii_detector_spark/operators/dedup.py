@@ -337,6 +337,55 @@ def boilerplate_shingles(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """C4-style boilerplate-line removal: delete every (non-empty) line
+    that appears in >= ``min_doc_freq`` distinct documents; reassemble the
+    survivors in original order.
+
+    Returns (doc_id, text) with cleaned text ('' when nothing survives).
+    Plan shape: posexplode lines → line-keyed countDistinct (the shuffle
+    carries lines once) → anti-join hot lines → per-doc ordered
+    reassembly. Only the line table shuffles; nothing is collected.
+    Empty lines are treated as structure, not content, and are dropped in
+    the output (the quality metrics already ignore them).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    lines = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    # ordered reassembly: array_sort on (pos, line) structs sorts by pos;
+    # the transform lambda is interpreted but runs over per-doc line counts
+    # (tens), not corpus-sized arrays
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -138,3 +138,28 @@ def test_boilerplate_shingles(spark):
     # the boilerplate prefix yields 4 shared trigrams; each seen in docs 1+2
     assert len(out) == 4
     assert all(r["doc_freq"] == 2 and r["first_doc_id"] == 1 for r in out)
+
+
+def test_remove_boilerplate_lines(spark):
+    from pii_detector_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        Row(doc_id=1, text="cookie banner\nreal content one\n\nfooter legal"),
+        Row(doc_id=2, text="cookie banner\nreal content two\nfooter legal"),
+        Row(doc_id=3, text="cookie banner\nonly boilerplate here\nfooter legal"),
+        Row(doc_id=4, text="standalone document with its own text"),
+        Row(doc_id=5, text=""),
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(rows), min_doc_freq=2
+        ).collect()
+    }
+    # repeated lines removed everywhere; unique lines survive in order;
+    # empty lines are structure and disappear
+    assert out[1] == "real content one"
+    assert out[2] == "real content two"
+    assert out[3] == "only boilerplate here"
+    assert out[4] == "standalone document with its own text"
+    assert out[5] == ""
