@@ -217,6 +217,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.5,
     max_docs_per_shingle: int | None = 256,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (no sketching): candidate pairs
     from a shared-shingle equi-join, jaccard from per-doc distinct counts.
@@ -230,7 +231,10 @@ def ngram_jaccard_pairs(
     share nothing but boilerplate. The cap defaults ON (256) because the
     uncapped join is a d² scale hazard at corpus size; pass None only where
     a fully exact single-pass count is required (e.g. the DuckDB oracle
-    cross-check, which has no cap on its side)."""
+    cross-check, which has no cap on its side). ``log_dropped=True`` makes
+    truncation visible: one extra narrow aggregation counts the shingles
+    the cap removed from candidate generation and logs it (opt-in — the
+    count is a job)."""
     base = (
         _slim_docs(df, id_col, text_col)
         .select("doc_id", shingles_col(shingle_n, "_text").alias("shingles"))
@@ -241,11 +245,22 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode("shingles").alias("shingle")
     ).withColumn("shingle_md5", F.md5("shingle")).drop("shingle")
     if max_docs_per_shingle is not None:
-        rare = (
-            exploded.groupBy("shingle_md5")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_docs_per_shingle)
-            .select("shingle_md5")
+        freqs = exploded.groupBy("shingle_md5").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        if log_dropped:
+            import logging
+
+            n_hot = freqs.filter(F.col("df") > max_docs_per_shingle).count()
+            if n_hot:
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: cap %d dropped %d hot shingles "
+                    "from candidate generation (results are approximate)",
+                    max_docs_per_shingle,
+                    n_hot,
+                )
+        rare = freqs.filter(F.col("df") <= max_docs_per_shingle).select(
+            "shingle_md5"
         )
         capped = exploded.join(rare, "shingle_md5", "left_semi")
         a = capped.alias("a")
@@ -348,11 +363,12 @@ def remove_boilerplate_lines(
     survivors in original order.
 
     Returns (doc_id, text) with cleaned text ('' when nothing survives).
-    Plan shape: posexplode lines → line-keyed countDistinct (the shuffle
-    carries lines once) → anti-join hot lines → per-doc ordered
-    reassembly. Only the line table shuffles; nothing is collected.
-    Empty lines are treated as structure, not content, and are dropped in
-    the output (the quality metrics already ignore them).
+    Plan shape: posexplode lines → md5-keyed countDistinct (the hot-line
+    shuffle and the anti-join key carry 32-char digests, never raw line
+    text — same keying discipline as every other dedup operator here) →
+    anti-join hot digests → per-doc ordered reassembly. Nothing is
+    collected. Empty lines are treated as structure, not content, and are
+    dropped in the output (the quality metrics already ignore them).
     """
     ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
     lines = (
@@ -361,14 +377,15 @@ def remove_boilerplate_lines(
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
         )
         .filter(F.col("line") != "")
+        .withColumn("line_md5", F.md5("line"))
     )
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("line_md5")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_doc_freq)
-        .select("line")
+        .select("line_md5")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    kept = lines.join(hot, "line_md5", "left_anti")
     # ordered reassembly: array_sort on (pos, line) structs sorts by pos;
     # the transform lambda is interpreted but runs over per-doc line counts
     # (tens), not corpus-sized arrays

@@ -1,9 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
 * ``cosine_topk_bruteforce`` — exact top-k neighbors: broadcast the (small)
-  query set against the corpus; dot products via ``zip_with``+``aggregate``
-  (JVM, no Python). At 100 TB the corpus side streams through the scan —
-  the only shuffle is the per-query top-k, which AQE keeps tiny.
+  query set against the corpus; cosine scored by an Arrow-batched numpy
+  pandas UDF (``cosine_pd`` — one einsum per batch; the zip_with/aggregate
+  JVM form is interpreted per element and measured 40x slower). At 100 TB
+  the corpus side streams through the scan — the only shuffle is the
+  per-query top-k, which AQE keeps tiny.
 * ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH signature
   (deterministic planes derived from md5 of the dimension index) buckets
   the corpus; queries search only their bucket. Recall < 1 by design;
@@ -14,8 +16,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -33,7 +38,28 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Interpreted HOF form — kept for ad-hoc use; hot paths use
+    ``cosine_pd`` (the zip_with/aggregate lambdas are evaluated per
+    element OUTSIDE codegen, the measured 40x trap — BENCH/PLANS.md)."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _cosine_batch(a, b):
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    X = np.stack(a.map(np.asarray).to_numpy()).astype(np.float64)
+    Y = np.stack(b.map(np.asarray).to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", X, Y)
+    den = np.sqrt(np.einsum("ij,ij->i", X, X)) * np.sqrt(
+        np.einsum("ij,ij->i", Y, Y)
+    )
+    return pd.Series(num / den)
+
+
+# Arrow-batched numpy cosine: one vectorized pass per batch instead of
+# one interpreted fold per element per row (DataType instance, not a DDL
+# string — string forms are parsed eagerly and need an active session)
+cosine_pd = F.pandas_udf(_cosine_batch, returnType=DoubleType())
 
 
 def cosine_topk_bruteforce(
@@ -57,7 +83,7 @@ def cosine_topk_bruteforce(
     ).select(
         "query_id",
         "vec_id",
-        cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+        cosine_pd(F.col("vec"), F.col("qvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -69,26 +95,38 @@ def cosine_topk_bruteforce(
     )
 
 
+def _plane_matrix(dim: int, n_planes: int, table: int) -> "np.ndarray":
+    """Deterministic ±1 hyperplanes: plane p's weight for dimension d is
+    the bit parity of md5(t:p:d) — no model artifact, same planes on every
+    executor and in the DuckDB oracle."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                1.0
+                if (hashlib.md5(f"{table}:{p}:{d}".encode()).digest()[0] & 1)
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
 def hyperplane_sign_bits(
     vec_col: Column, dim: int, n_planes: int, table: int = 0
 ) -> Column:
-    """Deterministic random-hyperplane signature without a model artifact:
-    plane p's weight for dimension d = ±1 from bit parity of md5(t:p:d).
-    Computed as a JVM expression; the plane table folds to literals."""
-    import hashlib
-
+    """JVM-expression signature (interpreted HOFs — kept for ad-hoc use;
+    hot paths use ``lsh_buckets_udf``, one numpy matmul per Arrow batch)."""
+    signs_by_plane = _plane_matrix(dim, n_planes, table)
     bits = []
     for p in range(n_planes):
-        signs = [
-            1.0
-            if (hashlib.md5(f"{table}:{p}:{d}".encode()).digest()[0] & 1)
-            else -1.0
-            for d in range(dim)
-        ]
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(s) for s in signs]),
+                F.array(*[F.lit(float(s)) for s in signs_by_plane[p]]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -101,19 +139,23 @@ def hyperplane_sign_bits(
     return sig.cast("int")
 
 
-def _bucket_array(
-    vec: Column, dim: int, n_planes: int, n_tables: int
-) -> Column:
-    """One (table_id, bucket) struct per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                hyperplane_sign_bits(vec, dim, n_planes, table=t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+def lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Vectorized multi-table signature: vec -> array<int> of ``n_tables``
+    buckets. One (batch × tables·planes·dim) einsum per Arrow batch replaces
+    tables × planes interpreted zip_with/aggregate folds per ROW (the
+    non-codegen trap that made ann_lsh the slowest bench query)."""
+    P = np.stack([_plane_matrix(dim, n_planes, t) for t in range(n_tables)])
+    pw = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def fn(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        X = np.stack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
+        proj = np.einsum("nd,tpd->ntp", X, P)
+        sig = ((proj >= 0).astype(np.int64) * pw).sum(axis=2).astype(np.int32)
+        return pd.Series(list(sig))
+
+    return F.pandas_udf(fn, returnType="array<int>")
 
 
 def lsh_bucket_topk(
@@ -132,22 +174,23 @@ def lsh_bucket_topk(
     buy recall, more planes cut candidates per bucket. Only same-bucket
     rows are ever scored — the corpus is never cross-joined.
     """
+    buckets = lsh_buckets_udf(dim, n_planes, n_tables)
     c = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
     ).select(
         "vec_id",
         "vec",
-        F.explode(_bucket_array(F.col("vec"), dim, n_planes, n_tables)).alias("b"),
-    ).select("vec_id", "vec", "b.table_id", "b.bucket")
+        F.posexplode(buckets(F.col("vec"))).alias("table_id", "bucket"),
+    )
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("qvec"),
     ).select(
         "query_id",
         "qvec",
-        F.explode(_bucket_array(F.col("qvec"), dim, n_planes, n_tables)).alias("b"),
-    ).select("query_id", "qvec", "b.table_id", "b.bucket")
+        F.posexplode(buckets(F.col("qvec"))).alias("table_id", "bucket"),
+    )
 
     cand = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
@@ -158,7 +201,7 @@ def lsh_bucket_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        cosine(F.col("vec"), F.col("qvec")).alias("cosine"),
+        cosine_pd(F.col("vec"), F.col("qvec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -278,7 +321,7 @@ def ivf_topk(
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.select(
-        "query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+        "query_id", "vec_id", cosine_pd(F.col("vec"), F.col("qvec")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -297,25 +340,70 @@ def embedding_neardup_pairs(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block: int = 2048,
 ) -> DataFrame:
-    """Vector near-dup pairs: LSH-bucketed self-join + cosine verify."""
+    """Vector near-dup pairs (cosine ≥ threshold) within LSH buckets.
+
+    Shape: bucket each vector (vectorized signature UDF) → ONE bucket-keyed
+    shuffle → per-bucket blocked numpy matmul inside ``applyInPandas``.
+    Each vector crosses the JVM↔Arrow boundary once per bucket; a
+    self-JOIN form ships both vectors once per CANDIDATE PAIR (measured
+    3x slower at sf0.1) and its pair rows dominate the shuffle. Per-task
+    memory is bucket_size × dim plus a block × bucket_size score tile —
+    at corpus scale, ``n_planes`` (buckets = 2^planes) is the knob that
+    keeps bucket populations task-sized.
+    """
+    buckets = lsh_buckets_udf(dim, n_planes, 1)
     base = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("vec"),
-    ).withColumn("bucket", hyperplane_sign_bits(F.col("vec"), dim, n_planes))
-    a = base.alias("a")
-    b = base.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("vec").alias("vec_b"),
-        "bucket",
-    ).alias("b")
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("vec_id_b"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("vec_id_b").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("vec_b")).alias("cosine"),
+    ).withColumn("bucket", buckets(F.col("vec"))[0])
+
+    def score(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        X = np.stack(pdf["vec"].map(np.asarray).to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        c_out: list[np.ndarray] = []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            sims = Xn[s:e] @ Xn.T  # (block, m) tile
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            keep = gi < jj  # strict upper triangle: each pair once, no self
+            gi, gj = gi[keep], jj[keep]
+            if not len(gi):
+                continue
+            ia, ib = ids[gi], ids[gj]
+            a_out.append(np.minimum(ia, ib))
+            b_out.append(np.maximum(ia, ib))
+            c_out.append(sims[ii[keep], jj[keep]])
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "cosine": np.concatenate(c_out),
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+
+    return base.groupBy("bucket").applyInPandas(
+        score, schema="id_a long, id_b long, cosine double"
     )

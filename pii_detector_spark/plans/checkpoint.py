@@ -105,7 +105,17 @@ def gc_deleted_urls(
     the anti-join is unhinted (planner/AQE pick the strategy). Idempotent:
     a second pass with the same source listing computes an empty set.
 
-    Returns rows-removed per table.
+    Crash-safe swap order: the rewritten data lands in ``*_gc_tmp``; the
+    live dir is renamed ASIDE to ``*_gc_old`` before tmp takes its place,
+    and only then is ``_gc_old`` deleted — every interruption point leaves
+    either the old or the new table under a recoverable name (the previous
+    rmtree-then-rename order had a window where the table directory was
+    simply gone). A leftover ``_gc_old`` from a prior crash is recovered
+    (renamed back) if the live dir is missing, else discarded.
+
+    Returns rows-removed per table. Missing tables are skipped; corrupt
+    tables RAISE (silently skipping made GC report 0 removed on damage
+    that needed attention).
     """
     import shutil
 
@@ -113,17 +123,23 @@ def gc_deleted_urls(
     dele = deleted.select("url").distinct()
     for t in tables:
         path = os.path.join(output_dir, t)
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
+        old = path + "_gc_old"
+        if os.path.exists(old):
+            if os.path.exists(path):
+                shutil.rmtree(old)  # prior crash after swap: old is stale
+            else:
+                os.rename(old, path)  # prior crash mid-swap: recover
+        if not os.path.exists(path):
             continue
+        df = spark.read.parquet(path)
         before = df.count()
         kept = df.join(dele, "url", "left_anti")
         tmp = path + "_gc_tmp"
         kept.write.mode("overwrite").parquet(tmp)
         after = spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
         removed[t] = before - after
     return removed
 

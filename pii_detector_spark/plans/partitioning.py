@@ -74,8 +74,11 @@ def page_by_key(
 
     Two narrow aggregation jobs (min/max + histogram); the sort is
     per-bucket and only over ~page-sized buckets. Results are identical to
-    the global-sort form when ``key_col`` is unique.
+    the global-sort form when ``key_col`` is unique. NULL keys are
+    excluded up front (a NULL cannot be ordered into a keyset page; the
+    reference's LIMIT/OFFSET runs over a NOT NULL primary key).
     """
+    df = df.filter(F.col(key_col).isNotNull())
     mm = df.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]

@@ -11,8 +11,9 @@ Spark-first shape — **frontier-parallel BFS**:
   over executors (``mapInPandas`` calling the injected lister), so a round
   costs max(dir latency) instead of sum; rounds = tree depth, not tree
   size.
-* file rows accumulate as DataFrames; only directory PATHS are collected
-  to the driver between rounds (metadata-sized — bytes never move).
+* each level's listing rows (contents-API metadata, never file bodies)
+  come back to the driver in the same job that feeds the next frontier —
+  one job per level, no cached relations.
 * file bodies are fetched executor-side in a second ``mapInPandas`` pass,
   mapping straight into the engine's web_pages input shape.
 
@@ -96,7 +97,7 @@ def walk_repo_tree(
     count). ``max_depth`` bounds pathological/looping trees.
     """
     frontier = [root]
-    file_frames: list[DataFrame] = []
+    file_rows: list[tuple] = []
     for _depth in range(max_depth):
         if not frontier:
             break
@@ -105,21 +106,23 @@ def walk_repo_tree(
             [(d,) for d in frontier], "path string"
         ).repartition(min(n_tasks, 256))
         listed = fdf.mapInPandas(_list_frontier(list_dir), schema=ENTRY_SCHEMA)
-        # one distributed job per level; files kept distributed, dir PATHS
-        # (metadata) collected for the next frontier
-        listed = listed.cache()
-        files = listed.filter(F.col("kind") == "file")
-        if files.limit(1).count() > 0:
-            file_frames.append(files)
-        frontier = [
-            r["path"] for r in listed.filter(F.col("kind") == "dir").select("path").collect()
-        ]
-    if not file_frames:
-        return spark.createDataFrame([], ENTRY_SCHEMA)
-    out = file_frames[0]
-    for f in file_frames[1:]:
-        out = out.unionByName(f)
-    return out
+        # exactly ONE distributed job per level (the listing itself — the
+        # expensive HTTP fan-out — runs on executors); the collected rows
+        # are contents-API METADATA (path/kind/etag/size, ~100 B each), not
+        # file bodies, so the driver holds listing-sized state only — the
+        # same state the frontier recursion already routes through it.
+        # No per-level cache: nothing stays persisted after return (a
+        # cached-level design leaked one relation per tree level). Repos
+        # beyond driver-memory listings don't arrive via a contents API —
+        # they'd enter through the bulk tarball/clone path instead.
+        level = listed.collect()
+        file_rows.extend(
+            (r["path"], r["name"], r["kind"], r["etag"], r["size"])
+            for r in level
+            if r["kind"] == "file"
+        )
+        frontier = [r["path"] for r in level if r["kind"] == "dir"]
+    return spark.createDataFrame(file_rows, ENTRY_SCHEMA)
 
 
 def fetch_repo_files(

@@ -69,9 +69,21 @@ def incremental_pipeline(
     arrived since the last checkpoint, then exits — the streaming-native
     resume (file-level progress in the checkpoint replaces the batch
     anti-join; both produce identical tables, run_id = ``prefix-batchId``).
-    """
-    from pii_detector_spark.plans.pipeline import write_run_outputs
 
+    Idempotent under microbatch REPLAY: Structured Streaming is
+    at-least-once into a foreachBatch sink — after a failure between sink
+    completion and checkpoint commit, the same (deterministic) batch_id is
+    re-delivered. The sink therefore skips any batch whose run_id already
+    exists in the lineage table (the documented foreachBatch dedup recipe:
+    batchId as the transactional key), so a replayed batch appends nothing
+    twice and streaming and batch runs produce identical tables. The
+    lineage row is appended AFTER docs/findings inside
+    ``write_run_outputs``, so a run_id observed in lineage implies its
+    docs/findings are fully committed (the skip is never premature); a
+    crash strictly inside a first attempt can still leave partial parquet
+    for that one batch — the residue Iceberg's atomic append removes on a
+    cluster.
+    """
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -80,7 +92,7 @@ def incremental_pipeline(
     docs = transform_web_pages(stream, config)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_run_outputs(
+        idempotent_batch_write(
             spark,
             batch_df,
             output_dir,
@@ -97,6 +109,30 @@ def incremental_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def idempotent_batch_write(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    output_dir: str,
+    run_id: str,
+    pattern_version: int,
+) -> bool:
+    """foreachBatch body: write the four sinks UNLESS this run_id already
+    committed (lineage is the commit marker — appended after docs/findings
+    in ``write_run_outputs``, so its presence implies a complete batch).
+    Returns True when the batch was written, False on a replay skip."""
+    from pii_detector_spark.plans.checkpoint import read_lineage
+    from pii_detector_spark.plans.pipeline import write_run_outputs
+
+    lineage = read_lineage(spark, output_dir)
+    if (
+        lineage is not None
+        and lineage.filter(F.col("run_id") == run_id).limit(1).count() > 0
+    ):
+        return False  # replayed microbatch: outputs already committed
+    write_run_outputs(spark, batch_df, output_dir, run_id, pattern_version)
+    return True
 
 
 def windowed_event_metrics(events: DataFrame) -> DataFrame:

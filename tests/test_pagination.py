@@ -78,3 +78,16 @@ def test_ensure_min_parallelism_guard(spark):
     many = spark.createDataFrame([(i,) for i in range(100)], "k long").repartition(16)
     out = ensure_min_parallelism(many, "k", min_partitions=8)
     assert out is many
+
+
+def test_page_by_key_null_keys_excluded(spark):
+    """NULL keys are filtered up front (they cannot be ordered into a
+    keyset page); previously the counts dict grew a None bucket and
+    sorted() raised TypeError."""
+    from pii_detector_spark.plans.partitioning import page_by_key
+
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,), (4,)], "k long"
+    )
+    out = page_by_key(df, "k", 0, 2)
+    assert [r["k"] for r in out.orderBy("rn").collect()] == [1, 2]

@@ -244,3 +244,36 @@ def test_resume_after_partial_run(spark, corpus_path, tmp_path_factory):
         for r in spark.read.parquet(os.path.join(fresh_out, "docs")).collect()
     }
     assert a == b
+
+
+def test_gc_crash_recovery_and_swap_order(spark, tmp_path_factory):
+    """Every GC interruption point leaves a recoverable directory: a
+    leftover *_gc_old with the live dir missing (crash mid-swap) is
+    renamed back before the pass runs; stale _gc_old/_gc_tmp are cleaned."""
+    import os as _os
+
+    from pii_detector_spark.plans.checkpoint import gc_deleted_urls
+
+    out = str(tmp_path_factory.mktemp("gc_crash"))
+    df = spark.createDataFrame([("u1",), ("u2",), ("u3",)], "url string")
+    for t in ("docs", "findings", "lineage"):
+        df.write.parquet(_os.path.join(out, t))
+    # simulate a crash that happened between rename-aside and tmp-swap
+    _os.rename(_os.path.join(out, "docs"), _os.path.join(out, "docs_gc_old"))
+
+    deleted = spark.createDataFrame([("u2",)], "url string")
+    removed = gc_deleted_urls(spark, out, deleted)
+    assert removed == {"docs": 1, "findings": 1, "lineage": 1}
+    for t in ("docs", "findings", "lineage"):
+        got = {
+            r["url"]
+            for r in spark.read.parquet(_os.path.join(out, t)).collect()
+        }
+        assert got == {"u1", "u3"}
+        assert not _os.path.exists(_os.path.join(out, t + "_gc_old"))
+        assert not _os.path.exists(_os.path.join(out, t + "_gc_tmp"))
+    # missing tables are skipped, not an error
+    removed2 = gc_deleted_urls(
+        spark, out, deleted, tables=("docs", "nonexistent")
+    )
+    assert "nonexistent" not in removed2

@@ -83,3 +83,14 @@ def test_fetch_maps_to_web_pages_shape(spark):
     # payload rides as html bytes, extractable downstream
     r = {x["url"]: x for x in web.collect()}
     assert bytes(r["gh://owner/repo/README.md"]["html"]) == b"content of README.md"
+
+
+def test_walk_leaves_no_cached_relations(spark):
+    """One job per level, nothing persisted after return (a cached-level
+    design leaked one relation per tree depth)."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()  # other ops may cache by design
+    list_dir, _ = _fake_repo()
+    files = walk_repo_tree(spark, list_dir)
+    assert files.count() == 4
+    assert jsc.getPersistentRDDs().size() == before

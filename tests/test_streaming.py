@@ -195,3 +195,34 @@ def test_windowed_event_metrics_batch_equivalence(spark, sf_dir="/root/testdata/
     out = windowed_event_metrics(events)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == events.count()
+
+
+def test_foreachbatch_sink_is_idempotent_on_replay(spark, corpus_path, tmp_path):
+    """Structured Streaming re-delivers a microbatch after a partial
+    failure (at-least-once into foreachBatch); the sink must skip a
+    batch whose run_id already committed, so the replay appends nothing."""
+    import os
+
+    from pii_detector_spark.plans.pipeline import transform_web_pages
+    from pii_detector_spark.sources.web_pages import read_web_pages
+    from pii_detector_spark.streaming.incremental import idempotent_batch_write
+
+    out = str(tmp_path / "replay_out")
+    batch = transform_web_pages(read_web_pages(spark, corpus_path))
+
+    assert idempotent_batch_write(spark, batch, out, "s1-0", 1) is True
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    n1 = docs.count()
+    assert n1 > 0
+    lineage1 = spark.read.parquet(os.path.join(out, "lineage")).count()
+
+    # replay of the SAME batch id: skipped, all four sinks unchanged
+    assert idempotent_batch_write(spark, batch, out, "s1-0", 1) is False
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == n1
+    assert (
+        spark.read.parquet(os.path.join(out, "lineage")).count() == lineage1
+    )
+
+    # a NEW batch id still writes
+    assert idempotent_batch_write(spark, batch, out, "s1-1", 1) is True
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == 2 * n1
