@@ -501,6 +501,46 @@ def q_extract_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select("url", office_udf("url", "doc_id").alias("text"))
 
 
+def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 PDF extraction (stdlib ``sources/pdf.py``: page-tree walk, zlib
+    FlateDecode, BT/ET Tj operators — the reference's PyPDF2 page loop,
+    ``file_service.py:358-366``): two-page PDFs built in-engine per doc_id
+    by the deterministic writer, fed through the real ``with_file_text``
+    dispatch, so the extracted text is SQL-derivable."""
+    import pandas as pd
+
+    from pii_detector_spark.sources.files import with_file_text
+    from pii_detector_spark.sources.pdf import build_simple_pdf
+
+    def _pdf_batch(ids):
+        out = []
+        for i in ids:
+            i = int(i)
+            out.append(
+                build_simple_pdf(
+                    [f"invoice {i}\namount {i * 3}", f"total {i * 7}"]
+                )
+            )
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.types import BinaryType
+
+    pdf_udf = F.pandas_udf(_pdf_batch, returnType=BinaryType())
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            F.concat(
+                F.lit("https://files.example.com/p"),
+                F.col("doc_id").cast("string"),
+                F.lit(".pdf"),
+            ).alias("url"),
+            pdf_udf(F.col("doc_id")).alias("html"),
+        )
+    )
+    return with_file_text(d).select("url", "text")
+
+
 def q_extract_csv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 per-format extraction, CSV path: delimiter sniff + cells joined
     with spaces, rows with newlines (reference file_service.py:353-390)."""
@@ -543,6 +583,79 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_docs_per_shingle=None,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 repetition gates (operators/repetition.py): top-{2,3,4}-
+    gram and duplicated-{5..10}-gram character fractions. Repetition is
+    PLANTED deterministically (doc_id%3 copies of a phrase appended) so the
+    dup fractions exercise nonzero paths; both engines derive the same text."""
+    from pii_detector_spark.operators.repetition import with_repetition_metrics
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.expr("repeat('la li lu le lo ', CAST(doc_id % 3 AS INT))"),
+        ).alias("text"),
+    )
+    out = with_repetition_metrics(d)
+    sel = [F.col("doc_id").cast("long").alias("doc_id"), F.col("n_chars")]
+    for n in (2, 3, 4):
+        sel.append(
+            F.round(f"top_{n}gram_char_frac", 6).alias(f"top_{n}gram_char_frac")
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        sel.append(
+            F.round(f"dup_{n}gram_char_frac", 6).alias(f"dup_{n}gram_char_frac")
+        )
+    return out.select(*sel)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → cluster sizes (operators/clusters.py
+    min-label propagation; DuckDB oracle computes the same transitive
+    closure with a recursive CTE). Pair source = the exact n-gram Jaccard
+    graph so both engines derive identical edges."""
+    from pii_detector_spark.operators import clusters
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.5,
+        max_docs_per_shingle=None,
+    )
+    out = clusters.dedup_clusters(pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one decision over the full corpus: every doc gets (component,
+    is_canonical); docs outside the pair graph are singleton-canonical.
+    With no preference column the canonical member is the min doc_id —
+    exactly the component label, which the oracle reproduces."""
+    from pii_detector_spark.operators import clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        threshold=0.5,
+        max_docs_per_shingle=None,
+    )
+    out = clusters.canonicalize(docs, pairs)
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "is_canonical",
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,6 +1126,25 @@ def q_langid_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_ppl_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram (KenLM-style) perplexity over the planted corpus: the
+    English plant scores ~326 vs >760 for every other class (all content
+    words OOV → unigram floor), so the fluency decision at threshold 500
+    is a pure function of doc_id the oracle derives without the model."""
+    from pii_detector_spark.operators.langid import with_word_perplexity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.element_at(
+        F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    out = with_word_perplexity(d.select("doc_id", text.alias("text")))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("word_ppl") <= 500.0).alias("is_fluent"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -1125,8 +1257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_archives": q_explode_archives,
         "extract_csv_text": q_extract_csv_text,
         "extract_office_text": q_extract_office_text,
+        "extract_pdf_text": q_extract_pdf_text,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "repetition_metrics": q_repetition_metrics,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "boilerplate_shingles": q_boilerplate_shingles,
@@ -1150,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_documents": q_scrub_documents,
         "langid_documents": q_langid_documents,
         "langid_planted": q_langid_planted,
+        "word_ppl_planted": q_word_ppl_planted,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1239,6 +1376,113 @@ j AS (
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jac, 6) AS jaccard
 FROM j WHERE jac >= {thr}"""
+
+
+def _repetition_sql() -> str:
+    top_cols = ",\n  ".join(
+        f"round(coalesce(max(CASE WHEN kind='t' AND n={n} THEN v END)"
+        f" / nullif(dd.n_chars,0), 0), 6) AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n  ".join(
+        f"round(coalesce(max(CASE WHEN kind='d' AND n={n} THEN v END)"
+        f" / nullif(dd.n_chars,0), 0), 6) AS dup_{n}gram_char_frac"
+        for n in (5, 6, 7, 8, 9, 10)
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         concat_ws(' ', text, repeat('la li lu le lo ', (doc_id % 3)::INT)) AS text
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, length(text) AS n_chars,
+         trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS t
+  FROM d
+),
+w AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS ws
+  FROM docs
+),
+g AS (
+  SELECT doc_id, tn.n AS n,
+         array_to_string(ws[ti.i:ti.i+tn.n-1], ' ') AS gram
+  FROM w,
+       unnest([2,3,4,5,6,7,8,9,10]) AS tn(n),
+       unnest(range(1, len(ws)-tn.n+2)) AS ti(i)
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt, length(any_value(gram)) AS glen
+  FROM g GROUP BY doc_id, n, gram
+),
+top AS (
+  SELECT doc_id, n, cnt*glen AS v,
+         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, glen DESC) AS rn
+  FROM counts
+),
+u AS (
+  SELECT doc_id, 't' AS kind, n, v FROM top WHERE rn = 1 AND n IN (2,3,4)
+  UNION ALL
+  SELECT doc_id, 'd', n, sum(cnt*glen) FROM counts WHERE cnt >= 2 AND n >= 5 GROUP BY doc_id, n
+)
+SELECT dd.doc_id::BIGINT AS doc_id, dd.n_chars::BIGINT AS n_chars,
+  {top_cols},
+  {dup_cols}
+FROM docs dd LEFT JOIN u ON u.doc_id = dd.doc_id
+GROUP BY dd.doc_id, dd.n_chars"""
+
+
+def _pairs_cte(n: int = 3, thr: float = 0.5) -> str:
+    """The _ngram_jaccard_sql pair graph as a reusable CTE chain ending in
+    ``prs (id_a, id_b)``."""
+    return f"""{_shingles_cte(n).lstrip()},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM nz),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN (SELECT doc_id, len(shingles) c FROM nz) la ON la.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) c FROM nz) lb ON lb.doc_id = id_b
+  WHERE n::DOUBLE / (la.c + lb.c - n) >= {thr}
+)"""
+
+
+def _components_ctes(n: int = 3, thr: float = 0.5) -> str:
+    """Recursive transitive closure over the pair graph → ``comp
+    (doc_id, component)`` with component = min reachable id."""
+    return f"""WITH RECURSIVE {_pairs_cte(n, thr)},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+walk(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY id)"""
+
+
+def _dedup_clusters_sql(n: int = 3, thr: float = 0.5) -> str:
+    return f"""{_components_ctes(n, thr)}
+SELECT c.doc_id::BIGINT AS doc_id, c.component::BIGINT AS component,
+       s.n::BIGINT AS cluster_size
+FROM comp c
+JOIN (SELECT component, count(*) AS n FROM comp GROUP BY 1) s USING (component)"""
+
+
+def _dedup_canonical_sql(n: int = 3, thr: float = 0.5) -> str:
+    return f"""{_components_ctes(n, thr)}
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(c.component, d.doc_id)::BIGINT AS component,
+       (d.doc_id = COALESCE(c.component, d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
 
 def _simhash_sql() -> str:
@@ -1582,6 +1826,13 @@ UNION ALL
 SELECT 'https://files.example.com/b' || doc_id::VARCHAR || '.xlsx',
        'row' || doc_id::VARCHAR || ' ' || (doc_id * 7)::VARCHAR
 FROM d""",
+        "extract_pdf_text": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50)
+SELECT 'https://files.example.com/p' || doc_id::VARCHAR || '.pdf' AS url,
+       'invoice ' || doc_id::VARCHAR || chr(10) || 'amount '
+         || (doc_id * 3)::VARCHAR || chr(10) || 'total '
+         || (doc_id * 7)::VARCHAR AS text
+FROM d""",
         "events_windowed": """
 SELECT (epoch_us(ts) - epoch_us(ts) % 600000000)::BIGINT AS window_start_us,
        event_type, count(*)::BIGINT AS n_events,
@@ -1625,6 +1876,9 @@ SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
        count(*)::BIGINT AS dup_count
 FROM documents GROUP BY 1""",
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        "repetition_metrics": _repetition_sql(),
+        "dedup_clusters": _dedup_clusters_sql(3, 0.5),
+        "dedup_canonical": _dedup_canonical_sql(3, 0.5),
         "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
         "remove_boilerplate_lines": """
 SELECT doc_id::BIGINT AS doc_id,
@@ -1992,5 +2246,8 @@ FROM f""",
         "langid_planted": """
 SELECT doc_id::BIGINT AS doc_id,
        list_extract(['de','en','es','fr','ru'], 1 + doc_id % 5) AS lang_pred
+FROM documents""",
+        "word_ppl_planted": """
+SELECT doc_id::BIGINT AS doc_id, (doc_id % 5 = 1) AS is_fluent
 FROM documents""",
     }

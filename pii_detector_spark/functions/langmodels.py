@@ -254,6 +254,80 @@ def _fast_lm():
     return char_table, K, table
 
 
+# --- word-level LM (KenLM/CCNet-style token n-gram) ------------------------
+# The char-bigram LM above catches gibberish; CCNet's quality signal is a
+# TOKEN n-gram LM with backoff (Wenzek et al. 2019 §3.2; PAPERS.md). This is
+# the same method at the smallest honest size: a word-bigram model with
+# Jelinek-Mercer interpolation to an add-one unigram, trained on the seed
+# corpus. Same deterministic-artifact/broadcast pattern as everything else
+# in this module.
+
+_WORD_LM_LAMBDA = 0.7  # bigram weight; 1-λ on the unigram backoff
+_MAX_DOC_TOKENS = 400
+
+
+def _word_tokens(s: str) -> list[str]:
+    return _DIGITS.sub("0", s.lower()).split()
+
+
+@lru_cache(maxsize=1)
+def _word_bigram_lm():
+    """Dense (K×K) interpolated log-prob table + word→id map.
+
+    cell (h, w) = log(λ·c(hw)/c_ctx(h) + (1-λ)·(c(w)+1)/(N+V)); id 0 = OOV
+    (unigram floor everywhere). Rows for contexts never seen fall back to
+    the pure unigram column. K ≈ vocab of the seed corpus (~200) — a few
+    hundred KB per executor, built once per process.
+    """
+    import numpy as np
+
+    uni: dict[str, int] = {}
+    ctx: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    n_targets = 0
+    for s in SEED_CORPUS["en"]:
+        toks = ["<s>", *_word_tokens(s), "</s>"]
+        for h, w in zip(toks, toks[1:]):
+            ctx[h] = ctx.get(h, 0) + 1
+            bi[(h, w)] = bi.get((h, w), 0) + 1
+            uni[w] = uni.get(w, 0) + 1
+            n_targets += 1
+    vocab = sorted(set(uni) | set(ctx))
+    V = len(vocab) + 1  # +1 for OOV
+    word_id = {w: i + 1 for i, w in enumerate(vocab)}
+    K = V
+    p_uni = np.full(K, 1.0 / (n_targets + V), dtype=np.float64)  # OOV floor
+    for w, c in uni.items():
+        p_uni[word_id[w]] = (c + 1.0) / (n_targets + V)
+    lam = _WORD_LM_LAMBDA
+    table = np.log((1.0 - lam) * p_uni)[None, :].repeat(K, axis=0)
+    for (h, w), c in bi.items():
+        hi, wi = word_id[h], word_id[w]
+        table[hi, wi] = math.log(
+            lam * c / ctx[h] + (1.0 - lam) * p_uni[wi]
+        )
+    return word_id, table
+
+
+def word_perplexity(text: str) -> float:
+    """Word-bigram perplexity vs the English seed LM (<s> w1 … wn </s>;
+    ppl over the n+1 transitions). inf for token-free docs."""
+    if not text:
+        return float("inf")
+    import numpy as np
+
+    word_id, table = _word_bigram_lm()
+    toks = _word_tokens(text[: _MAX_DOC_CHARS * 4])[:_MAX_DOC_TOKENS]
+    if not toks:
+        return float("inf")
+    seq = ["<s>", *toks, "</s>"]
+    ids = np.fromiter(
+        (word_id.get(w, 0) for w in seq), dtype=np.int64, count=len(seq)
+    )
+    lps = table[ids[:-1], ids[1:]]
+    return math.exp(-float(lps.sum()) / len(lps))
+
+
 def perplexity(text: str) -> float:
     """Char-bigram perplexity of the doc vs the English seed LM."""
     if not text or len(text) < 2:

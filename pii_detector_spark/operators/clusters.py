@@ -1,0 +1,164 @@
+"""Dedup canonicalization: near-dup PAIRS → connected components →
+one canonical document per cluster.
+
+The missing last mile after minhash/simhash/ngram/embedding pair emission
+(``operators/dedup.py``, ``operators/similarity.py``): a training-data
+pipeline keeps ONE representative per duplicate cluster, and clusters are
+the transitive closure of the pair graph (A~B, B~C ⇒ {A,B,C} even when
+A≁C directly).
+
+Spark-first shape — iterative min-label propagation in pure DataFrame ops
+(the hash-to-min variant of map-reduce connected components; no driver-side
+graph, no GraphX):
+
+* labels start as each vertex's own id; every round each vertex takes the
+  min of its label and its neighbors' labels (edge join + groupBy-min);
+  converges to the component's min id in ≤ graph-diameter rounds.
+* each round materializes via the convergence check (a changed-count job),
+  persists its labels and unpersists the previous round's — bounded
+  memory, early exit the first round nothing changes.
+* near-dup graphs are overwhelmingly tiny cliques/chains (diameter ≤ 3-4),
+  so round count is small and each round is one shuffle join + one
+  shuffle agg over (id, id) rows — 16 bytes/vertex, never text.
+* the returned labels are snapshot via ``localCheckpoint`` so every loop
+  persist can be dropped before returning — no cached relations outlive
+  the call (checkpoint blocks are GC-cleaned with the DataFrame).
+
+The reference has no dedup canonicalization (it deduplicates scan WORK by
+url, ``base_scan_service.py:431-447``); this implements the standard
+map-reduce CC construction (Vassilvitskii et al.'s small-star/large-star
+family; PAPERS.md) in its simplest min-propagation form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component =
+    min id of the connected component (any orderable id type).
+
+    ``max_iter`` bounds pathological chain graphs (a length-k path needs
+    ~k rounds); the loop exits early on convergence, which for real
+    near-dup graphs happens in a handful of rounds.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    # self-loops make each round ONE join+agg with a SINGLE reference to
+    # the previous labels (a labels ∪ propagate form references labels
+    # twice, doubling the logical plan every round — exponential analysis
+    # cost; the classic iterative-DataFrame trap)
+    adj = sym.unionByName(
+        verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = verts.withColumn("comp", F.col("id")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    for _round in range(max_iter):
+        new_labels = (
+            adj.join(labels.select(F.col("id").alias("src"), "comp"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("comp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("_old")), "id"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # snapshot so the loop's last persist can be released: checkpoint
+    # blocks are cleaned up with the DataFrame, a bare persist is not
+    out = labels.select("id", "comp").localCheckpoint(eager=True)
+    labels.unpersist()
+    adj.unpersist()
+    return out
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Multi-member clusters from near-dup pairs: (doc_id, component,
+    cluster_size), component = min doc_id of the cluster."""
+    comp = connected_components(pairs, id_a, id_b, max_iter).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "doc_id", "component", "cluster_size"
+    )
+
+
+def canonicalize(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    prefer_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Attach (component, is_canonical) to ``docs``.
+
+    Docs absent from the pair graph are their own singleton component and
+    canonical. Within a cluster the canonical doc is the max of
+    ``prefer_col`` (e.g. a quality score), ties and None broken by min
+    ``id_col`` — so the keep-one decision is deterministic.
+    """
+    comp = connected_components(pairs, id_a, id_b, max_iter).select(
+        F.col("id").alias(id_col), F.col("comp").alias("component")
+    )
+    out = docs.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    order = [F.col(id_col).asc()]
+    if prefer_col is not None:
+        order = [F.col(prefer_col).desc_nulls_last(), F.col(id_col).asc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(*order)
+    return out.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    prefer_col: str | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep exactly one doc per near-dup cluster (the pipeline's keep-one
+    flag): ``docs`` minus every non-canonical cluster member."""
+    marked = canonicalize(
+        docs, pairs, id_col, id_a, id_b, prefer_col, max_iter
+    )
+    return marked.filter(F.col("is_canonical")).drop(
+        "component", "is_canonical"
+    )

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from pii_detector_spark.functions.langmodels import perplexity, predict_lang
+from pii_detector_spark.functions.langmodels import (
+    perplexity,
+    predict_lang,
+    word_perplexity,
+)
 
 LANG_RESULT_TYPE = StructType(
     [
@@ -52,6 +56,25 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("perplexity", F.col("_lm.perplexity"))
         .drop("_lm")
     )
+
+
+def _word_ppl_batch(texts: pd.Series) -> pd.Series:
+    return pd.Series(
+        [min(word_perplexity(t or ""), 1e9) for t in texts],
+        dtype="float64",
+    )
+
+
+word_ppl_udf = F.pandas_udf(
+    _word_ppl_batch, returnType=DoubleType()
+).asNondeterministic()
+
+
+def with_word_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """KenLM-style TOKEN-bigram perplexity (functions/langmodels.py
+    ``word_perplexity``) as a column — the CCNet quality signal
+    complementing the char-bigram ``perplexity``."""
+    return df.withColumn("word_ppl", word_ppl_udf(F.col(text_col)))
 
 
 # --- fused extraction + language models -----------------------------------

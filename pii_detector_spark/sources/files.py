@@ -21,8 +21,11 @@ Spark-first:
     sheet in order, resolving shared strings, cells joined with spaces and
     rows with newlines — the same one-scannable-string shape as the CSV
     path (the reference concatenates all sheets, ``:369-375``).
-  - PDF and legacy .doc genuinely need PyPDF2/antiword (binary formats,
-    not available here) — those two raise ``NotImplementedError`` at the
+  - PDF: stdlib too (``sources/pdf.py`` — page-tree walk, zlib
+    FlateDecode, BT/ET text operators; PyPDF2's page-text loop
+    reimplemented from the public PDF spec, ``file_service.py:358-366``).
+  - legacy .doc/.xls genuinely need antiword/xlrd (OLE2 compound files,
+    not available here) — those raise ``NotImplementedError`` at the
     exact dispatch seam where the libraries would plug in.
 """
 
@@ -42,7 +45,7 @@ from pyspark.sql.types import StringType
 CSV_DELIMITERS = (",", ";", "|", "\t")  # reference file_service.py:25
 CSV_ENCODINGS = ("utf-8", "latin-1")  # reference file_service.py:26
 
-UNSUPPORTED_BINARY = (".pdf", ".doc", ".xls")  # need PyPDF2/antiword/xlrd
+UNSUPPORTED_BINARY = (".doc", ".xls")  # need antiword/xlrd (OLE2)
 
 _DOCX_P = "}p"  # wordprocessingml paragraph / text local names
 _DOCX_T = "}t"
@@ -84,9 +87,10 @@ def _xlsx_cell_text(c, shared: list[str]) -> str:
 
 
 def extract_xlsx_text(data: bytes) -> str:
-    """XLSX → one scannable string: every sheet in archive order, cells
-    joined with spaces, rows with newlines (the reference concatenates all
-    sheets into one frame, ``file_service.py:369-375``)."""
+    """XLSX → one scannable string: every sheet in numeric workbook order
+    (sheet2 before sheet10), cells joined with spaces, rows with newlines
+    (the reference concatenates all sheets into one frame,
+    ``file_service.py:369-375``)."""
     with zipfile.ZipFile(io.BytesIO(data)) as z:
         names = z.namelist()
         shared: list[str] = []
@@ -99,8 +103,12 @@ def extract_xlsx_text(data: bytes) -> str:
                     )
                 )
         lines: list[str] = []
-        sheet_rx = _re.compile(r"^xl/worksheets/sheet\d+\.xml$")
-        for name in sorted(n for n in names if sheet_rx.match(n)):
+        sheet_rx = _re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+        # numeric sheet order: lexicographic put sheet10 before sheet2
+        for name in sorted(
+            (n for n in names if sheet_rx.match(n)),
+            key=lambda n: int(sheet_rx.match(n).group(1)),
+        ):
             root = ElementTree.fromstring(z.read(name))
             for row in root.iter():
                 if not row.tag.endswith("}row"):
@@ -162,10 +170,14 @@ def extract_file_text(name: str, data: bytes | None) -> str:
         return extract_docx_text(bytes(data))
     if low.endswith(".xlsx"):
         return extract_xlsx_text(bytes(data))
+    if low.endswith(".pdf"):
+        from pii_detector_spark.sources.pdf import extract_pdf_text
+
+        return extract_pdf_text(bytes(data))
     if low.endswith(UNSUPPORTED_BINARY):
         raise NotImplementedError(
-            f"{low.rsplit('.', 1)[-1]} extraction requires PyPDF2/antiword/"
-            "xlrd (not available in this environment)"
+            f"{low.rsplit('.', 1)[-1]} extraction requires antiword/xlrd "
+            "(OLE2 compound files; not available in this environment)"
         )
     # fallback: decode with replacement (reference file_service.py:415)
     return bytes(data).decode("utf-8", errors="replace")

@@ -1,0 +1,181 @@
+"""Segment-parallel NoSQL scan planning (S7 DynamoDB, S8 DocumentDB/Mongo).
+
+The reference walks both stores with serial LIMIT/OFFSET-style cursors:
+
+* DynamoDB — a COUNT pre-scan to find the chunk's ``LastEvaluatedKey``,
+  then a second scan from that key (``app/services/dynamodb.py:90-154``,
+  chunks of ``CHUNK_JSON_CAPACITY = 1000``). That is O(n²) server reads
+  across a table (every chunk re-walks its offset).
+* DocumentDB — ``collection.find().skip(offset).limit(limit)``
+  (``documentdb.py:219-252``), same quadratic skip cost.
+
+Spark-first translation, mirroring what ``sources/jdbc.py`` does for SQL
+stores (range predicates instead of OFFSET):
+
+* **DynamoDB**: the service's native parallel scan — ``TotalSegments`` /
+  ``Segment`` — one segment per Spark task; each segment is an independent
+  server-side partition walk (no offsets, no overlap, exactly-once rows).
+* **Mongo/DocumentDB**: disjoint ``_id``-range cursors
+  (``{_id: {$gte: lo, $lt: hi}}``) from split points, the same strategy
+  the official mongo-spark connector uses; each range is one task's
+  cursor, resumable and skip-free.
+* the reference's exact offset chunk lists are still derivable
+  (``plan_offset_chunks`` in ``sources/jdbc.py``) for parity.
+
+The reference's schema-union normalization (items in one chunk disagree on
+keys; it unions the key sets and back-fills — ``dynamodb.py:146-154``,
+``documentdb.py:246-249``) is ``align_item_columns`` here, applied
+per-batch executor-side.
+
+No live store exists in this sandbox: like ``repo_walker``, the fetch
+callable is an injected seam (boto3 / pymongo plug in on a cluster); the
+planning math and the distributed fetch orchestration are the tested
+surface.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pii_detector_spark.sources.jdbc import CHUNK_JSON_CAPACITY
+
+DEFAULT_MAX_SEGMENTS = 256
+
+
+@dataclass(frozen=True)
+class DynamoScanPlan:
+    table: str
+    total_segments: int
+
+    def segment_params(self) -> list[dict[str, Any]]:
+        """One boto3 ``scan`` kwargs dict per segment (the parallel-scan
+        API shape); pagination inside a segment follows
+        ``LastEvaluatedKey`` → ``ExclusiveStartKey`` natively."""
+        return [
+            {
+                "TableName": self.table,
+                "Segment": i,
+                "TotalSegments": self.total_segments,
+            }
+            for i in range(self.total_segments)
+        ]
+
+
+def plan_dynamo_scan(
+    table: str,
+    item_count: int,
+    items_per_segment: int = CHUNK_JSON_CAPACITY,
+    max_segments: int = DEFAULT_MAX_SEGMENTS,
+) -> DynamoScanPlan:
+    """Segment count from the table's ItemCount (the same DescribeTable
+    statistic the reference chunks on, ``dynamodb.py:75-88``), clamped so
+    a huge table doesn't open thousands of concurrent scans."""
+    if item_count < 0:
+        raise ValueError("item_count must be >= 0")
+    n = max(1, math.ceil(item_count / items_per_segment)) if item_count else 1
+    return DynamoScanPlan(table=table, total_segments=min(n, max_segments))
+
+
+@dataclass(frozen=True)
+class MongoRangePlan:
+    database: str
+    collection: str
+    bounds: tuple  # k+1 split points → k ranges
+
+    def range_filters(self) -> list[dict[str, Any]]:
+        """Disjoint covering ``find`` filters: [lo, hi) per range, the last
+        range unbounded above (new inserts during the scan still land in
+        exactly one cursor)."""
+        out: list[dict[str, Any]] = []
+        b = list(self.bounds)
+        for i in range(len(b) - 1):
+            cond: dict[str, Any] = {"$gte": b[i]}
+            if i < len(b) - 2:
+                cond["$lt"] = b[i + 1]
+            out.append({"_id": cond})
+        return out
+
+
+def plan_mongo_ranges(
+    database: str,
+    collection: str,
+    doc_count: int,
+    id_min: Any,
+    id_max: Any,
+    split_keys: list | None = None,
+    docs_per_range: int = CHUNK_JSON_CAPACITY,
+    max_ranges: int = DEFAULT_MAX_SEGMENTS,
+) -> MongoRangePlan:
+    """``_id``-range planning. With integer ids the split points are
+    computed arithmetically; for ObjectId/string ids pass ``split_keys``
+    (e.g. from ``splitVector`` or a sampled quantile scan) and they are
+    used verbatim."""
+    if doc_count < 0:
+        raise ValueError("doc_count must be >= 0")
+    if split_keys is not None:
+        bounds = [id_min, *split_keys, id_max]
+        return MongoRangePlan(database, collection, tuple(bounds))
+    n = max(1, math.ceil(doc_count / docs_per_range)) if doc_count else 1
+    n = min(n, max_ranges)
+    if isinstance(id_min, int) and isinstance(id_max, int):
+        span = max(1, id_max - id_min + 1)
+        n = min(n, span)
+        width = math.ceil(span / n)
+        bounds = [id_min + i * width for i in range(n)] + [id_max]
+        return MongoRangePlan(database, collection, tuple(bounds))
+    # non-numeric ids without split keys: one full range
+    return MongoRangePlan(database, collection, (id_min, id_max))
+
+
+def align_item_columns(items: list[dict]) -> list[dict]:
+    """The reference's schema-union normalization: union of keys across the
+    batch, missing keys back-filled with None, every item emitted with the
+    same (sorted) key order (``dynamodb.py:146-154``,
+    ``documentdb.py:246-249`` — made deterministic: the reference iterates
+    an unordered set)."""
+    columns = sorted({k for item in items for k in item})
+    return [{c: item.get(c) for c in columns} for item in items]
+
+
+# fetch_spec(spec_json: dict) -> list[dict] rows for that segment/range
+FetchSpec = Callable[[dict], "list[dict]"]
+
+
+def read_parallel_specs(
+    spark: SparkSession,
+    specs: list[dict],
+    fetch_spec: FetchSpec,
+    schema: StructType | str,
+) -> DataFrame:
+    """Distribute segment/range specs over executors and fetch each with
+    the injected client — the NoSQL analogue of ``repo_walker``'s listing
+    seam. Specs ride as JSON strings (works for Dynamo segment params and
+    Mongo range filters alike); one task per spec; rows are aligned to
+    ``schema``'s fields (the schema-union rule) before yielding."""
+    import json
+
+    import pandas as pd
+
+    struct = (
+        schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    )
+    names = [f.name for f in struct.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for s in pdf["spec"]:
+                items = align_item_columns(fetch_spec(json.loads(s)))
+                yield pd.DataFrame(
+                    {n: [it.get(n) for it in items] for n in names}
+                )
+
+    sdf = spark.createDataFrame(
+        [(json.dumps(s, default=str, sort_keys=True),) for s in specs],
+        "spec string",
+    ).repartition(max(1, len(specs)))
+    return sdf.mapInPandas(run, schema=schema)

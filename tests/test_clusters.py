@@ -1,0 +1,96 @@
+"""Connected components + canonical-doc selection (operators/clusters.py):
+transitive closure over near-dup pairs in pure DataFrame ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pii_detector_spark.operators.clusters import (
+    canonicalize,
+    connected_components,
+    dedup_clusters,
+    drop_near_duplicates,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_transitive_chain_and_separate_cluster(spark):
+    # chain 1-2-3-4 (diameter 3: needs real propagation) + pair 10-11
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_long_path_converges(spark):
+    # 0-1-2-...-12: worst-case diameter for min propagation
+    pairs = _pairs(spark, [(i, i + 1) for i in range(12)])
+    comp = connected_components(pairs)
+    assert {r["comp"] for r in comp.collect()} == {0}
+    assert comp.count() == 13
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = _pairs(spark, [(5, 6), (6, 7), (20, 21)])
+    got = {
+        (r["doc_id"], r["component"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {
+        (5, 5, 3),
+        (6, 5, 3),
+        (7, 5, 3),
+        (20, 20, 2),
+        (21, 20, 2),
+    }
+
+
+def test_canonicalize_singletons_and_prefer_col(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (50, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    # no preference: min doc_id wins
+    by_id = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in canonicalize(docs, pairs).collect()
+    }
+    assert by_id == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        50: (50, True),  # singleton: own component, canonical
+    }
+    # quality preference: 2 and 3 tie at 0.9 → min doc_id 2 wins
+    by_q = {
+        r["doc_id"]: r["is_canonical"]
+        for r in canonicalize(docs, pairs, prefer_col="quality").collect()
+    }
+    assert by_q == {1: False, 2: True, 3: False, 50: True}
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    pairs = _pairs(spark, [(0, 1), (1, 2), (4, 5)])
+    kept = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4, 6, 7]
+
+
+def test_no_leaked_loop_persists(spark):
+    """The iterative loop's per-round persists are all released; only the
+    returned snapshot (localCheckpoint, GC-cleaned with the DataFrame)
+    may remain."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
+    comp.collect()
+    assert jsc.getPersistentRDDs().size() <= before + 1

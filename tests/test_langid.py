@@ -121,3 +121,87 @@ def test_empty_and_numeric_fall_back_deterministically():
     assert predict_lang("") == "unk"
     assert predict_lang("12345 67890") == predict_lang("12345 67890")
     assert predict_lang("12345 67890") in LANGS + ("unk",)
+
+
+def _word_ppl_naive(text: str) -> float:
+    """Independent dict-based reimplementation of the interpolated
+    word-bigram LM (same training spec, no numpy tables)."""
+    import math as _math
+
+    from pii_detector_spark.functions.langmodels import (
+        _MAX_DOC_CHARS,
+        _MAX_DOC_TOKENS,
+        _WORD_LM_LAMBDA,
+        _word_tokens,
+        SEED_CORPUS,
+    )
+
+    uni, ctx, bi = {}, {}, {}
+    n = 0
+    for s in SEED_CORPUS["en"]:
+        toks = ["<s>", *_word_tokens(s), "</s>"]
+        for h, w in zip(toks, toks[1:]):
+            ctx[h] = ctx.get(h, 0) + 1
+            bi[(h, w)] = bi.get((h, w), 0) + 1
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+    V = len(sorted(set(uni) | set(ctx))) + 1
+    lam = _WORD_LM_LAMBDA
+
+    def p_uni(w):
+        return (uni.get(w, 0) + 1.0) / (n + V)
+
+    toks = _word_tokens(text[: _MAX_DOC_CHARS * 4])[:_MAX_DOC_TOKENS]
+    if not toks:
+        return float("inf")
+    seq = ["<s>", *toks, "</s>"]
+    total = 0.0
+    known = set(uni) | set(ctx)
+    for h, w in zip(seq, seq[1:]):
+        # OOV words/contexts collapse to id 0 in the table form
+        h = h if h in known else None
+        w = w if w in known else None
+        pb = bi.get((h, w), 0) / ctx[h] if h in ctx else 0.0
+        total += _math.log(lam * pb + (1 - lam) * p_uni(w))
+    return _math.exp(-total / (len(seq) - 1))
+
+
+def test_word_perplexity_matches_naive_and_orders_fluency():
+    import random
+
+    from pii_detector_spark.functions.langmodels import (
+        SEED_CORPUS,
+        word_perplexity,
+    )
+
+    rng = random.Random(7)
+    samples = [s for ss in SEED_CORPUS.values() for s in ss]
+    docs = list(samples) + ["", "zq xv gkh", "the the the", "12345 the"]
+    for _ in range(50):
+        docs.append(" ".join(rng.sample(samples, k=2))[: rng.randint(3, 120)])
+    for d in docs:
+        a, b = word_perplexity(d), _word_ppl_naive(d)
+        if a == float("inf"):
+            assert b == float("inf")
+            continue
+        assert abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0), repr(d)
+    # fluency ordering: in-domain English << OOV-heavy foreign text
+    assert word_perplexity(SEED_CORPUS["en"][0]) < 10
+    assert word_perplexity(SEED_CORPUS["de"][0]) > 500
+
+
+def test_with_word_perplexity_column(spark):
+    from pii_detector_spark.functions.langmodels import word_perplexity
+    from pii_detector_spark.operators.langid import with_word_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["word_ppl"]
+        for r in with_word_perplexity(df).collect()
+    }
+    want = word_perplexity("the quick brown fox jumps over the lazy dog")
+    assert abs(got[1] - want) < 1e-9
+    assert got[2] == 1e9  # null text → capped sentinel

@@ -76,7 +76,7 @@ class TestFileExtraction:
         from pii_detector_spark.sources.files import extract_file_text
 
         with pytest.raises(NotImplementedError):
-            extract_file_text("doc.pdf", b"%PDF-1.4")
+            extract_file_text("doc.doc", b"\xd0\xcf\x11\xe0 ole2")
 
     def test_binary_file_ingestion(self, spark, tmp_path):
         from pii_detector_spark.sources.files import read_binary_files, with_file_text
@@ -165,14 +165,114 @@ class TestOfficeExtraction:
         assert ("r.docx", "EMAIL_ADDRESS") in found
         assert ("b.xlsx", "US_SSN") in found
 
-    def test_pdf_and_doc_still_stubbed(self):
+    def test_xlsx_numeric_sheet_order(self):
+        """sheet2 concatenates before sheet10 (numeric workbook order, not
+        lexicographic archive order)."""
+        import io
+        import zipfile
+
+        from pii_detector_spark.sources.files import extract_file_text
+
+        def _sheet(val: str) -> str:
+            return (
+                f'<?xml version="1.0"?><worksheet xmlns="{self.S}">'
+                f'<sheetData><row r="1"><c r="A1" t="inlineStr">'
+                f"<is><t>{val}</t></is></c></row></sheetData></worksheet>"
+            )
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("[Content_Types].xml", "<Types/>")
+            # archive order deliberately scrambled
+            for i in (10, 1, 2):
+                z.writestr(f"xl/worksheets/sheet{i}.xml", _sheet(f"s{i}"))
+        text = extract_file_text("book.xlsx", buf.getvalue())
+        assert text == "s1\ns2\ns10"
+
+    def test_doc_and_xls_still_stubbed(self):
         import pytest as _pytest
 
         from pii_detector_spark.sources.files import extract_file_text
 
-        for name in ("x.pdf", "x.doc", "x.xls"):
+        for name in ("x.doc", "x.xls"):
             with _pytest.raises(NotImplementedError):
                 extract_file_text(name, b"anything")
+
+
+class TestPdfExtraction:
+    """Stdlib PDF text extraction (sources/pdf.py): the PyPDF2 page-text
+    loop of the reference (file_service.py:358-366) reimplemented from the
+    public PDF spec, pinned by exact round-trip goldens."""
+
+    def test_roundtrip_pages_compressed_and_raw(self):
+        from pii_detector_spark.sources.pdf import (
+            build_simple_pdf,
+            extract_pdf_text,
+        )
+
+        pages = [
+            "Invoice 42\ncontact jane@mailhost.example.com",
+            "(parens) and back\\slash and héllo",
+            "third page",
+        ]
+        for compress in (True, False):
+            pdf = build_simple_pdf(pages, compress=compress)
+            assert extract_pdf_text(pdf) == "\n".join(pages)
+
+    def test_page_tree_order_not_object_order(self):
+        """Pages come back in /Kids order even when the writer emitted the
+        page objects in a different byte order."""
+        from pii_detector_spark.sources.pdf import (
+            build_simple_pdf,
+            extract_pdf_text,
+        )
+
+        pdf = build_simple_pdf(["first", "second"])
+        # swap the two page objects' byte positions; the page TREE (/Kids)
+        # still says first-then-second
+        a, b = b"4 0 obj", b"6 0 obj"
+        ia, ib = pdf.index(a), pdf.index(b)
+        end_a = pdf.index(b"endobj", ia) + 7
+        end_b = pdf.index(b"endobj", ib) + 7
+        swapped = (
+            pdf[:ia] + pdf[ib:end_b] + pdf[end_a:ib] + pdf[ia:end_a] + pdf[end_b:]
+        )
+        assert extract_pdf_text(swapped) == "first\nsecond"
+
+    def test_unsupported_pdfs_raise(self):
+        import pytest as _pytest
+
+        from pii_detector_spark.sources.pdf import (
+            PdfParseError,
+            build_simple_pdf,
+            extract_pdf_text,
+        )
+
+        with _pytest.raises(PdfParseError):
+            extract_pdf_text(b"not a pdf at all")
+        enc = build_simple_pdf(["x"]).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+        )
+        with _pytest.raises(PdfParseError):
+            extract_pdf_text(enc)
+
+    def test_pdf_feeds_the_battery(self, spark, tmp_path):
+        from pii_detector_spark.operators.scrub import with_scrub
+        from pii_detector_spark.sources.files import (
+            read_binary_files,
+            with_file_text,
+        )
+        from pii_detector_spark.sources.pdf import build_simple_pdf
+
+        (tmp_path / "r.pdf").write_bytes(
+            build_simple_pdf(["ssn 172-32-1176 inside a pdf"])
+        )
+        df = with_file_text(read_binary_files(spark, str(tmp_path)))
+        out = with_scrub(df)
+        found = {
+            f.pii_type for r in out.collect() for f in (r.findings or [])
+        }
+        assert "US_SSN" in found
 
 
 class TestTabularScan:
