@@ -173,6 +173,14 @@ def lsh_bucket_topk(
     Candidate recall ≈ 1-(1-p^planes)^tables where p = 1-θ/π; more tables
     buy recall, more planes cut candidates per bucket. Only same-bucket
     rows are ever scored — the corpus is never cross-joined.
+
+    Scoring shape: COGROUPED ``applyInPandas`` on (table_id, bucket) — each
+    bucket's corpus vectors and query vectors cross the Arrow boundary once
+    and one numpy matmul scores the whole bucket. The earlier join form
+    materialized (vec, qvec) per candidate PAIR (each vector shipped once
+    per candidate — the same traffic trap measured 3x on
+    embedding_neardup). Cross-table duplicates resolve in a cheap
+    (query_id, vec_id) max-agg of 8-byte score rows.
     """
     buckets = lsh_buckets_udf(dim, n_planes, n_tables)
     c = corpus.select(
@@ -192,16 +200,39 @@ def lsh_bucket_topk(
         F.posexplode(buckets(F.col("qvec"))).alias("table_id", "bucket"),
     )
 
-    cand = (
-        c.join(F.broadcast(q), ["table_id", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", "vec", "qvec")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine_pd(F.col("vec"), F.col("qvec")).alias("cosine"),
+    def score(cg, qg):
+        if not len(cg) or not len(qg):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        cids = cg["vec_id"].to_numpy().astype(np.int64)
+        qids = qg["query_id"].to_numpy().astype(np.int64)
+        X = np.stack(cg["vec"].map(np.asarray).to_numpy()).astype(np.float64)
+        Y = np.stack(qg["qvec"].map(np.asarray).to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        sims = Xn @ Yn.T  # (corpus, queries)
+        ci, qi = np.nonzero(cids[:, None] != qids[None, :])
+        return pd.DataFrame(
+            {
+                "query_id": qids[qi],
+                "vec_id": cids[ci],
+                "cosine": sims[ci, qi],
+            }
+        )
+
+    scored = (
+        c.groupBy("table_id", "bucket")
+        .cogroup(q.groupBy("table_id", "bucket"))
+        .applyInPandas(score, schema="query_id long, vec_id long, cosine double")
+        # same (query_id, vec_id) found in several tables: identical score,
+        # max() dedups without another distinct pass over vectors
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
