@@ -49,6 +49,10 @@ HEADLINE_QUERIES = (
     "embedding_neardup",
     "media_features",
     "frame_sampling",
+    "repetition_metrics",
+    "dedup_clusters",
+    "extract_pdf_text",
+    "word_ppl_planted",
 )
 
 
