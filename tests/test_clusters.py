@@ -94,3 +94,30 @@ def test_no_leaked_loop_persists(spark):
     comp = connected_components(_pairs(spark, [(1, 2), (2, 3)]))
     comp.collect()
     assert jsc.getPersistentRDDs().size() <= before + 1
+
+
+def test_drop_near_duplicate_docs_url_keyed(spark):
+    """Pipeline-level keep-one: MinHash pairs over url-keyed docs via the
+    surrogate-id mapping; canonical = min url, unique docs untouched."""
+    from pii_detector_spark.operators.clusters import drop_near_duplicate_docs
+
+    dup = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets"
+    )
+    uniq = (
+        "completely different content about distributed query engines "
+        "processing petabytes of web text with vectorized operators daily"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example.com/1", dup),
+            ("https://b.example.com/2", dup),
+            ("https://c.example.com/3", uniq),
+        ],
+        "url string, scrubbed_text string",
+    )
+    kept = sorted(
+        r["url"] for r in drop_near_duplicate_docs(docs).collect()
+    )
+    assert kept == ["https://a.example.com/1", "https://c.example.com/3"]

@@ -426,3 +426,32 @@ class TestReferenceGoldenShape:
         # single-word name/gender columns must stay clean
         for col in ("gender", "last_name", "first_name", "address"):
             assert col not in types_by_col, types_by_col.get(col)
+
+
+def test_pdf_roundtrip_property():
+    """Property: extract(build(pages)) == '\\n'.join(pages) for arbitrary
+    latin-1 printable page texts (escapes, parens, multi-page, blank
+    lines)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pii_detector_spark.sources.pdf import (
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+
+    # latin-1 printable minus \r (the writer emits \n line structure only;
+    # a \r inside a line would be a new line marker in PDF string syntax)
+    alphabet = st.characters(
+        min_codepoint=0x20, max_codepoint=0xFF, exclude_characters="\x7f\x85"
+    )
+    line = st.text(alphabet=alphabet, max_size=60)
+    page = st.lists(line, min_size=1, max_size=5).map("\n".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(pages=st.lists(page, min_size=1, max_size=4), compress=st.booleans())
+    def check(pages, compress):
+        pdf = build_simple_pdf(pages, compress=compress)
+        assert extract_pdf_text(pdf) == "\n".join(pages)
+
+    check()
