@@ -541,6 +541,51 @@ def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_file_text(d).select("url", "text")
 
 
+def q_extract_legacy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 legacy-office extraction (stdlib CFB + BIFF8 + Word97 piece
+    table — the reference's antiword/xlrd seams, ``file_service.py:369-375,
+    397-407``): .doc and .xls built in-engine per doc_id by the
+    deterministic writers, fed through the real dispatch."""
+    import pandas as pd
+
+    from pii_detector_spark.sources.files import with_file_text
+    from pii_detector_spark.sources.legacy_office import build_doc, build_xls
+
+    def _legacy_batch(urls, ids):
+        out = []
+        for url, i in zip(urls, ids):
+            i = int(i)
+            if str(url).endswith(".doc"):
+                out.append(build_doc(f"memo {i}\ntotal {i * 3}", pieces=2))
+            else:
+                out.append(build_xls([[[f"row{i}", i * 7]]]))
+        return pd.Series(out, dtype="object")
+
+    from pyspark.sql.types import BinaryType
+
+    legacy_udf = F.pandas_udf(_legacy_batch, returnType=BinaryType())
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    both = d.select(
+        F.concat(
+            F.lit("https://files.example.com/l"),
+            F.col("doc_id").cast("string"),
+            F.lit(".doc"),
+        ).alias("url"),
+        F.col("doc_id"),
+    ).unionByName(
+        d.select(
+            F.concat(
+                F.lit("https://files.example.com/l"),
+                F.col("doc_id").cast("string"),
+                F.lit(".xls"),
+            ).alias("url"),
+            F.col("doc_id"),
+        )
+    )
+    payload = both.select("url", legacy_udf("url", "doc_id").alias("html"))
+    return with_file_text(payload).select("url", "text")
+
+
 def q_extract_csv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 per-format extraction, CSV path: delimiter sniff + cells joined
     with spaces, rows with newlines (reference file_service.py:353-390)."""
@@ -1258,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_csv_text": q_extract_csv_text,
         "extract_office_text": q_extract_office_text,
         "extract_pdf_text": q_extract_pdf_text,
+        "extract_legacy_text": q_extract_legacy_text,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "repetition_metrics": q_repetition_metrics,
@@ -1824,6 +1870,16 @@ SELECT 'https://files.example.com/m' || doc_id::VARCHAR || '.docx' AS url,
 FROM d
 UNION ALL
 SELECT 'https://files.example.com/b' || doc_id::VARCHAR || '.xlsx',
+       'row' || doc_id::VARCHAR || ' ' || (doc_id * 7)::VARCHAR
+FROM d""",
+        "extract_legacy_text": """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50)
+SELECT 'https://files.example.com/l' || doc_id::VARCHAR || '.doc' AS url,
+       'memo ' || doc_id::VARCHAR || chr(10) || 'total '
+         || (doc_id * 3)::VARCHAR AS text
+FROM d
+UNION ALL
+SELECT 'https://files.example.com/l' || doc_id::VARCHAR || '.xls',
        'row' || doc_id::VARCHAR || ' ' || (doc_id * 7)::VARCHAR
 FROM d""",
         "extract_pdf_text": """

@@ -24,9 +24,11 @@ Spark-first:
   - PDF: stdlib too (``sources/pdf.py`` — page-tree walk, zlib
     FlateDecode, BT/ET text operators; PyPDF2's page-text loop
     reimplemented from the public PDF spec, ``file_service.py:358-366``).
-  - legacy .doc/.xls genuinely need antiword/xlrd (OLE2 compound files,
-    not available here) — those raise ``NotImplementedError`` at the
-    exact dispatch seam where the libraries would plug in.
+  - legacy .doc/.xls: stdlib as well (``sources/ole2.py`` CFB container +
+    ``sources/legacy_office.py`` — BIFF8 SST/LabelSst/Number cells, Word97
+    piece table; the antiword/xlrd seams of ``file_service.py:369-375,
+    397-407`` reimplemented from the public [MS-CFB]/[MS-XLS]/[MS-DOC]
+    specs, with documented subset limits).
 """
 
 from __future__ import annotations
@@ -45,7 +47,6 @@ from pyspark.sql.types import StringType
 CSV_DELIMITERS = (",", ";", "|", "\t")  # reference file_service.py:25
 CSV_ENCODINGS = ("utf-8", "latin-1")  # reference file_service.py:26
 
-UNSUPPORTED_BINARY = (".doc", ".xls")  # need antiword/xlrd (OLE2)
 
 _DOCX_P = "}p"  # wordprocessingml paragraph / text local names
 _DOCX_T = "}t"
@@ -174,11 +175,14 @@ def extract_file_text(name: str, data: bytes | None) -> str:
         from pii_detector_spark.sources.pdf import extract_pdf_text
 
         return extract_pdf_text(bytes(data))
-    if low.endswith(UNSUPPORTED_BINARY):
-        raise NotImplementedError(
-            f"{low.rsplit('.', 1)[-1]} extraction requires antiword/xlrd "
-            "(OLE2 compound files; not available in this environment)"
-        )
+    if low.endswith(".xls"):
+        from pii_detector_spark.sources.legacy_office import extract_xls_text
+
+        return extract_xls_text(bytes(data))
+    if low.endswith(".doc"):
+        from pii_detector_spark.sources.legacy_office import extract_doc_text
+
+        return extract_doc_text(bytes(data))
     # fallback: decode with replacement (reference file_service.py:415)
     return bytes(data).decode("utf-8", errors="replace")
 

@@ -72,11 +72,12 @@ class TestFileExtraction:
 
         assert extract_file_text("x.log", b"plain \xff text") == "plain � text"
 
-    def test_unsupported_format_raises(self):
+    def test_invalid_ole2_raises(self):
         from pii_detector_spark.sources.files import extract_file_text
+        from pii_detector_spark.sources.ole2 import Ole2Error
 
-        with pytest.raises(NotImplementedError):
-            extract_file_text("doc.doc", b"\xd0\xcf\x11\xe0 ole2")
+        with pytest.raises(Ole2Error):
+            extract_file_text("doc.doc", b"not an ole2 container")
 
     def test_binary_file_ingestion(self, spark, tmp_path):
         from pii_detector_spark.sources.files import read_binary_files, with_file_text
@@ -189,14 +190,47 @@ class TestOfficeExtraction:
         text = extract_file_text("book.xlsx", buf.getvalue())
         assert text == "s1\ns2\ns10"
 
-    def test_doc_and_xls_still_stubbed(self):
-        import pytest as _pytest
-
+    def test_legacy_doc_xls_roundtrip(self):
+        """Every extension in the reference dispatch now extracts — the
+        last S12 seam (antiword/xlrd) closed with stdlib CFB+BIFF8+Word97
+        parsing (sources/ole2.py, sources/legacy_office.py)."""
         from pii_detector_spark.sources.files import extract_file_text
+        from pii_detector_spark.sources.legacy_office import (
+            build_doc,
+            build_xls,
+        )
 
-        for name in ("x.doc", "x.xls"):
-            with _pytest.raises(NotImplementedError):
-                extract_file_text(name, b"anything")
+        xls = build_xls([[["acct", 12345], ["x", "y z"]], [["s2", 2.5]]])
+        assert extract_file_text("b.xls", xls) == "acct 12345\nx y z\ns2 2.5"
+        doc = build_doc("memo one\nwith ünïcode and кириллица", pieces=2)
+        assert (
+            extract_file_text("r.doc", doc)
+            == "memo one\nwith ünïcode and кириллица"
+        )
+
+    def test_legacy_files_feed_the_battery(self, spark, tmp_path):
+        from pii_detector_spark.operators.scrub import with_scrub
+        from pii_detector_spark.sources.files import (
+            read_binary_files,
+            with_file_text,
+        )
+        from pii_detector_spark.sources.legacy_office import (
+            build_doc,
+            build_xls,
+        )
+
+        (tmp_path / "r.doc").write_bytes(build_doc("ssn 172-32-1176 in doc"))
+        (tmp_path / "b.xls").write_bytes(
+            build_xls([[["email", "jane@mailhost.example.com"]]])
+        )
+        df = with_file_text(read_binary_files(spark, str(tmp_path)))
+        found = {
+            (r.url.rsplit("/", 1)[-1], f.pii_type)
+            for r in with_scrub(df).collect()
+            for f in (r.findings or [])
+        }
+        assert ("r.doc", "US_SSN") in found
+        assert ("b.xls", "EMAIL_ADDRESS") in found
 
 
 class TestPdfExtraction:
