@@ -164,7 +164,7 @@ def drop_near_duplicates(
     )
 
 
-def drop_near_duplicate_docs(
+def mark_near_duplicate_docs(
     docs: DataFrame,
     url_col: str = "url",
     text_col: str = "scrubbed_text",
@@ -173,8 +173,8 @@ def drop_near_duplicate_docs(
     threshold: float = 0.7,
     max_iter: int = 20,
 ) -> DataFrame:
-    """The pipeline-level keep-one pass over URL-keyed docs: MinHash-LSH
-    pairs → connected components → canonical per cluster, one doc kept.
+    """URL-keyed docs + (component, is_canonical): MinHash-LSH pairs →
+    connected components → canonical per cluster.
 
     The dedup operators key on LONG ids; urls bridge through a dense
     surrogate-id mapping (``monotonically_increasing_id``, snapshot via
@@ -210,7 +210,7 @@ def drop_near_duplicate_docs(
         F.col("_nid").alias("id_b"), F.col("_url").alias("url_b")
     )
     url_pairs = pairs.join(a, "id_a").join(b, "id_b").select("url_a", "url_b")
-    return drop_near_duplicates(
+    return canonicalize(
         docs,
         url_pairs,
         id_col=url_col,
@@ -218,4 +218,24 @@ def drop_near_duplicate_docs(
         id_b="url_b",
         prefer_col=prefer_col,
         max_iter=max_iter,
+    )
+
+
+def drop_near_duplicate_docs(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "scrubbed_text",
+    prefer_col: str | None = None,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The pipeline-level keep-one pass: ``docs`` minus every
+    non-canonical near-dup cluster member (see
+    ``mark_near_duplicate_docs``)."""
+    marked = mark_near_duplicate_docs(
+        docs, url_col, text_col, prefer_col, shingle_n, threshold, max_iter
+    )
+    return marked.filter(F.col("is_canonical")).drop(
+        "component", "is_canonical"
     )

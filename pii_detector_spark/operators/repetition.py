@@ -74,10 +74,18 @@ def with_repetition_metrics(
 
     Docs with no qualifying grams (or empty text) get 0.0 fractions.
     """
-    base = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        F.col(text_col).alias("_text"),
+    from pii_detector_spark.plans.partitioning import ensure_min_parallelism
+
+    # CPU-bound regex extraction per row: guard against pathologically
+    # under-split scans (a one-row-group parquet is ONE task no matter the
+    # cores — measured 6x here); well-split inputs pass through untouched
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            F.col(text_col).alias("_text"),
+        ),
+        "doc_id",
     )
     # all n in ONE corpus scan: a per-n UNION of exploded relations re-reads
     # the text column once per n (9 scans at 100 TB); nesting the n loop
@@ -110,30 +118,44 @@ def with_repetition_metrics(
     counts = grams.groupBy("doc_id", "n", "gkey").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen")
     )
+    # Two-level aggregation, both fully primitive/codegen:
+    # 1. per (doc_id, n): "most common, ties to longer" as ONE max over a
+    #    packed long key = cnt·2^31 + glen (glen < 2^31 always — a string
+    #    length; the product fits a long), plus the duplicated-gram char
+    #    sum. Map-side partial aggregation shrinks the gram-count relation
+    #    (tens of millions of rows) to docs×9 partials before the shuffle.
+    # 2. per doc_id: pivot the 9 n-values with conditional aggs — now over
+    #    the tiny per-(doc,n) relation, not the gram counts. (A single
+    #    groupBy(doc_id) with 9 conditional aggs evaluated every condition
+    #    against every gram-count row: measured 5x slower at sf0.1; a
+    #    max-of-STRUCT form was worse still — ObjectHashAggregate with
+    #    interpreted struct comparisons.)
+    packed = F.col("cnt") * F.lit(1 << 31).cast("long") + F.col("glen")
+    per_dn = counts.groupBy("doc_id", "n").agg(
+        F.max(packed).alias("_t"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen"))
+        ).alias("_d"),
+    )
     aggs = [
-        F.max(
-            F.when(F.col("n") == n, F.struct("cnt", "glen"))
-        ).alias(f"_t{n}")
+        F.max(F.when(F.col("n") == n, F.col("_t"))).alias(f"_t{n}")
         for n in top_ns
     ] + [
-        F.sum(
-            F.when(
-                (F.col("n") == n) & (F.col("cnt") >= 2),
-                F.col("cnt") * F.col("glen"),
-            )
-        ).alias(f"_d{n}")
+        F.max(F.when(F.col("n") == n, F.col("_d"))).alias(f"_d{n}")
         for n in dup_ns
     ]
-    per_doc = counts.groupBy("doc_id").agg(*aggs)
+    per_doc = per_dn.groupBy("doc_id").agg(*aggs)
     out = base.select("doc_id", "n_chars").join(per_doc, "doc_id", "left")
     nc = F.col("n_chars")
     for n in top_ns:
         t = F.col(f"_t{n}")
+        cnt = F.shiftright(t, 31)
+        glen = t.bitwiseAND(F.lit((1 << 31) - 1).cast("long"))
         out = out.withColumn(
             f"top_{n}gram_char_frac",
             F.when(
                 t.isNotNull() & (nc > 0),
-                (t["cnt"] * t["glen"]) / nc,
+                (cnt * glen) / nc,
             ).otherwise(F.lit(0.0)),
         )
     for n in dup_ns:

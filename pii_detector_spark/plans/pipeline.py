@@ -162,6 +162,7 @@ def run_pipeline(
     resume: bool = True,
     extract_html: bool = True,
     gc_deleted: bool = False,
+    dedup_near: bool = False,
 ) -> PipelineResult:
     """Batch scan job with checkpoint-resume; rerunning after a partial or
     complete prior run processes only not-yet-SCANNED urls (idempotent).
@@ -170,7 +171,15 @@ def run_pipeline(
     run: lineage urls absent from the current source listing are MERGE-
     deleted (parquet-rewrite equivalent) from docs/findings/lineage, so a
     url deleted at the source disappears downstream and would be rescanned
-    if it ever reappears."""
+    if it ever reappears.
+
+    ``dedup_near=True`` runs the keep-one near-dup pass AFTER the docs sink
+    (MinHash-LSH pairs over scrubbed_text → connected components →
+    canonical per cluster, ``operators/clusters.py``) over a cheap columnar
+    re-read — the fused UDF never re-runs — and writes two additive tables:
+    ``docs_deduped`` (kept docs only, same schema) and ``neardup``
+    (url, component, is_canonical). The primary ``docs`` table is left
+    complete so downstream consumers choose raw vs deduped."""
     raw = apply_prefilters(read_web_pages(spark, input_path))
     pending = raw
     lineage = None
@@ -191,6 +200,30 @@ def run_pipeline(
         deleted = checkpoint.deleted_urls(lineage, raw)
         if deleted is not None:
             checkpoint.gc_deleted_urls(spark, output_dir, deleted)
+
+    if dedup_near:
+        from pii_detector_spark.operators.clusters import (
+            mark_near_duplicate_docs,
+        )
+
+        written = spark.read.parquet(os.path.join(output_dir, "docs"))
+        marked = mark_near_duplicate_docs(
+            written, url_col="url", text_col="scrubbed_text"
+        )
+        neardup_path = os.path.join(output_dir, "neardup")
+        marked.select("url", "component", "is_canonical").write.mode(
+            "overwrite"
+        ).parquet(neardup_path)
+        # derive the kept set from the just-written (narrow) table instead
+        # of re-evaluating the pair/component stages a second time
+        canon = (
+            spark.read.parquet(neardup_path)
+            .filter(F.col("is_canonical"))
+            .select("url")
+        )
+        written.join(canon, "url", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(output_dir, "docs_deduped"))
 
     return PipelineResult(
         docs_path=os.path.join(output_dir, "docs"),

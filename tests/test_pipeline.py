@@ -277,3 +277,70 @@ def test_gc_crash_recovery_and_swap_order(spark, tmp_path_factory):
         spark, out, deleted, tables=("docs", "nonexistent")
     )
     assert "nonexistent" not in removed2
+
+
+def test_dedup_near_flag_writes_keep_one_tables(spark, tmp_path_factory):
+    """run_pipeline(dedup_near=True): docs stays complete; neardup records
+    cluster membership; docs_deduped keeps exactly one per cluster."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    dup = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    uniq = (
+        "completely different content about distributed query engines "
+        "processing petabytes of web text with vectorized operators daily "
+    ) * 4
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    rows = {
+        "url": [
+            "https://a.example.com/1",
+            "https://b.example.com/2",
+            "https://c.example.com/3",
+        ],
+        "warc_ts": [None, None, None],
+        "html": [None, None, None],
+        "text": [dup, dup, uniq],
+        "lang": [None, None, None],
+    }
+    src_dir = tmp_path_factory.mktemp("neardup_src")
+    pq_.write_table(pa.table(rows, schema=schema), str(src_dir / "pages.parquet"))
+    out = str(tmp_path_factory.mktemp("neardup_out"))
+
+    run_pipeline(
+        spark,
+        str(src_dir / "pages.parquet"),
+        out,
+        run_id="nd1",
+        extract_html=False,
+        dedup_near=True,
+    )
+    docs = spark.read.parquet(_os.path.join(out, "docs"))
+    assert docs.count() == 3  # primary table untouched
+    nd = {
+        r["url"]: (r["component"], r["is_canonical"])
+        for r in spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    assert nd["https://a.example.com/1"][1] is True
+    assert nd["https://b.example.com/2"][1] is False
+    assert nd["https://c.example.com/3"][1] is True
+    assert nd["https://a.example.com/1"][0] == nd["https://b.example.com/2"][0]
+    kept = {
+        r["url"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "docs_deduped")
+        ).collect()
+    }
+    assert kept == {"https://a.example.com/1", "https://c.example.com/3"}
