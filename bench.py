@@ -52,6 +52,7 @@ HEADLINE_QUERIES = (
     "repetition_metrics",
     "dedup_clusters",
     "extract_pdf_text",
+    "extract_legacy_text",
     "word_ppl_planted",
 )
 
