@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--no-html", action="store_true",
                     help="input has text only; skip HTML extraction")
+    ap.add_argument("--gc-deleted", action="store_true",
+                    help="after the run, MERGE-delete rows for urls no "
+                         "longer present at the source (F7 GC)")
+    ap.add_argument("--dedup-near", action="store_true",
+                    help="after the run, keep-one near-dup pass over the "
+                         "docs table -> additive neardup + docs_deduped "
+                         "tables")
     args = ap.parse_args()
 
     # session comes from spark-submit conf; only engine-required settings here
@@ -51,6 +58,8 @@ def main() -> None:
         run_id=args.run_id,
         resume=not args.no_resume,
         extract_html=not args.no_html,
+        gc_deleted=args.gc_deleted,
+        dedup_near=args.dedup_near,
     )
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "
