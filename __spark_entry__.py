@@ -714,6 +714,43 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-mode) MinHash parity: documents split old/new by
+    doc_id %% 20; run-1 pairs (old corpus signed against itself) union the
+    run-2 delta (new signatures band-joined against the FULL signature
+    table, new x all — never all x all re-shingling) must equal the full
+    one-shot recompute, which is exactly the ``minhash_lsh`` oracle SQL.
+    Pins ``operators/delta_dedup.py`` (pipeline flag ``--dedup-delta``)."""
+    from pii_detector_spark.operators import delta_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 20 != 0)
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    from pyspark import StorageLevel
+
+    # each signature relation feeds banding AND both verify joins — persist
+    # once (the same exchange-reuse trap as minhash_lsh_pairs)
+    sig_old = delta_dedup.minhash_signatures(
+        old, shingle_n=3, num_hashes=12
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = delta_dedup.minhash_signatures(
+        new, shingle_n=3, num_hashes=12
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs_run1 = delta_dedup.minhash_pairs_delta(
+        sig_old, sig_old, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    all_sigs = sig_old.unionByName(sig_new)
+    pairs_run2 = delta_dedup.minhash_pairs_delta(
+        all_sigs, sig_new, num_hashes=12, bands=4, jaccard_threshold=0.5
+    )
+    out = pairs_run1.unionByName(pairs_run2).dropDuplicates(["id_a", "id_b"])
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -1284,40 +1321,41 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness gate runs entries in dict
+    # order and has truncated at entry ~50 (r3 stopped after the 50th).
+    # Least-recently-driver-verified and newest queries therefore run FIRST
+    # (after the warm-up query), and the longest-green expensive queries
+    # run last, so any future truncation costs re-verification of the
+    # oldest-green entries, never of new code.
     return {
-        "pricing_summary": q_pricing_summary,
-        "customers_without_orders": q_customers_without_orders,
-        "order_running_total": q_order_running_total,
-        "part_budget": q_part_budget,
-        "latest_event_per_user": q_latest_event_per_user,
-        "events_hourly": q_events_hourly,
-        "events_windowed": q_events_windowed,
-        "snapshot_diff": q_snapshot_diff,
-        "hash_sample": q_hash_sample,
-        "url_prefilters": q_url_prefilters,
-        "paginate_orders": q_paginate_orders,
-        "filename_classifiers": q_filename_classifiers,
-        "custom_classifier_scrub": q_custom_classifier_scrub,
-        "tabular_scan": q_tabular_scan,
-        "explode_archives": q_explode_archives,
-        "extract_csv_text": q_extract_csv_text,
-        "extract_office_text": q_extract_office_text,
-        "extract_pdf_text": q_extract_pdf_text,
-        "extract_legacy_text": q_extract_legacy_text,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "repetition_metrics": q_repetition_metrics,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_canonical": q_dedup_canonical,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "boilerplate_shingles": q_boilerplate_shingles,
-        "remove_boilerplate_lines": q_remove_boilerplate_lines,
+        "pricing_summary": q_pricing_summary,  # warm-up: pays session init
+        # --- newest / least-driver-verified first ---
+        "minhash_delta": q_minhash_delta,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "frame_sampling": q_frame_sampling,
+        "ann_lsh": q_ann_lsh,
+        "ann_bruteforce": q_ann_bruteforce,
+        # --- cheap established queries ---
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "hash_sample": q_hash_sample,
+        "url_prefilters": q_url_prefilters,
+        "host_doc_counts": q_host_doc_counts,
         "quality_metrics": q_quality_metrics,
         "quality_keep": q_quality_keep,
-        "host_doc_counts": q_host_doc_counts,
+        "langid_documents": q_langid_documents,
+        "langid_planted": q_langid_planted,
+        "word_ppl_planted": q_word_ppl_planted,
+        "scrub_documents": q_scrub_documents,
+        "extract_pdf_text": q_extract_pdf_text,
+        "extract_office_text": q_extract_office_text,
+        "extract_csv_text": q_extract_csv_text,
+        "extract_legacy_text": q_extract_legacy_text,
+        "explode_archives": q_explode_archives,
+        "filename_classifiers": q_filename_classifiers,
         "pii_scrub_email": q_pii_scrub_email,
         "pii_scrub_ssn": q_pii_scrub_ssn,
         "pii_scrub_credit_card": q_pii_scrub_credit_card,
@@ -1329,16 +1367,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_person": q_pii_scrub_person,
         "pii_scrub_gov_ids": q_pii_scrub_gov_ids,
         "pii_scrub_credential_sets": q_pii_scrub_credential_sets,
-        "scrub_documents": q_scrub_documents,
-        "langid_documents": q_langid_documents,
-        "langid_planted": q_langid_planted,
-        "word_ppl_planted": q_word_ppl_planted,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        "frame_sampling": q_frame_sampling,
+        "custom_classifier_scrub": q_custom_classifier_scrub,
+        "boilerplate_shingles": q_boilerplate_shingles,
+        "remove_boilerplate_lines": q_remove_boilerplate_lines,
+        "tabular_scan": q_tabular_scan,
+        "customers_without_orders": q_customers_without_orders,
+        "latest_event_per_user": q_latest_event_per_user,
+        "paginate_orders": q_paginate_orders,
+        "snapshot_diff": q_snapshot_diff,
+        # --- expensive, longest-green last ---
+        "order_running_total": q_order_running_total,
+        "part_budget": q_part_budget,
+        "events_hourly": q_events_hourly,
+        "events_windowed": q_events_windowed,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "repetition_metrics": q_repetition_metrics,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1936,6 +1983,8 @@ FROM documents GROUP BY 1""",
         "dedup_clusters": _dedup_clusters_sql(3, 0.5),
         "dedup_canonical": _dedup_canonical_sql(3, 0.5),
         "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
+        # delta-mode accumulation must equal full recompute — same oracle
+        "minhash_delta": _minhash_sql(3, 12, 4, 0.5),
         "remove_boilerplate_lines": """
 SELECT doc_id::BIGINT AS doc_id,
        'doc body ' || doc_id::VARCHAR || chr(10) || 'unique tail '

@@ -39,6 +39,11 @@ def main() -> None:
                     help="after the run, keep-one near-dup pass over the "
                          "docs table -> additive neardup + docs_deduped "
                          "tables")
+    ap.add_argument("--dedup-delta", action="store_true",
+                    help="incremental near-dup: shingle/minhash only THIS "
+                         "run's docs and band-join against the persisted "
+                         "signatures table (new x all); same outputs as "
+                         "--dedup-near, ~delta-sized work on reruns")
     args = ap.parse_args()
 
     # session comes from spark-submit conf; only engine-required settings here
@@ -60,6 +65,7 @@ def main() -> None:
         extract_html=not args.no_html,
         gc_deleted=args.gc_deleted,
         dedup_near=args.dedup_near,
+        dedup_delta=args.dedup_delta,
     )
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "

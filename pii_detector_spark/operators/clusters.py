@@ -60,8 +60,14 @@ def connected_components(
     # the previous labels (a labels ∪ propagate form references labels
     # twice, doubling the logical plan every round — exponential analysis
     # cost; the classic iterative-DataFrame trap)
-    adj = sym.unionByName(
-        verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    # the self-loop row carries each dst's OWN previous label through the
+    # propagation join (is_self marks it), so per-round convergence is a
+    # filter on the aggregated relation itself — no extra labels-vs-labels
+    # join per round (one action, no second shuffle)
+    adj = sym.withColumn("is_self", F.lit(False)).unionByName(
+        verts.select(
+            F.col("id").alias("src"), F.col("id").alias("dst")
+        ).withColumn("is_self", F.lit(True))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = verts.withColumn("comp", F.col("id")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -70,21 +76,30 @@ def connected_components(
         new_labels = (
             adj.join(labels.select(F.col("id").alias("src"), "comp"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("comp"))
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("is_self"), F.col("comp"))).alias("_old"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
-            new_labels.join(
-                labels.select("id", F.col("comp").alias("_old")), "id"
-            )
-            .filter(F.col("comp") != F.col("_old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("comp") != F.col("_old")).limit(1).count()
         )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exited via max_iter with labels still moving: the component ids
+        # are WRONG (a >max_iter-hop chain splits silently) — refuse to
+        # return them rather than silently diverge from keep-one semantics
+        labels.unpersist()
+        adj.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(labels still changing); raise max_iter — a length-k chain "
+            f"needs ~k rounds"
+        )
     # snapshot so the loop's last persist can be released: checkpoint
     # blocks are cleaned up with the DataFrame, a bare persist is not
     out = labels.select("id", "comp").localCheckpoint(eager=True)

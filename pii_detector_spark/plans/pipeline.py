@@ -89,6 +89,76 @@ def transform_web_pages(
     return with_fused_processing(df, config.quality)
 
 
+def _commits_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_commits")
+
+
+def _marker_path(output_dir: str, run_id: str) -> str:
+    from urllib.parse import quote
+
+    return os.path.join(_commits_dir(output_dir), quote(run_id, safe=""))
+
+
+def mark_run_committed(output_dir: str, run_id: str) -> None:
+    """Atomic run-commit marker, written after ALL four sinks land.
+
+    On Iceberg the four appends would be one atomic multi-table commit;
+    plain parquet has no transactions, so the marker file plays the
+    manifest role: a run_id partition without a marker is a crashed,
+    partially-written run and is removed by ``heal_uncommitted_runs``
+    before the next run reads anything."""
+    os.makedirs(_commits_dir(output_dir), exist_ok=True)
+    tmp = _marker_path(output_dir, run_id) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(run_id)
+    os.replace(tmp, _marker_path(output_dir, run_id))
+
+
+def run_committed(output_dir: str, run_id: str) -> bool:
+    return os.path.exists(_marker_path(output_dir, run_id))
+
+
+HEALED_TABLES = ("docs", "findings", "lineage", "metrics")
+
+
+def heal_uncommitted_runs(
+    spark: SparkSession,
+    output_dir: str,
+    tables: tuple[str, ...] = HEALED_TABLES,
+) -> dict[str, list[str]]:
+    """Remove ``run_id=X`` partition directories whose X has no commit
+    marker — the file-level GC that makes every crash point leave readable,
+    consistent tables (no row rewrites: each run's rows live only in its
+    own partition directory, so deleting a crashed run is an O(files)
+    directory remove, valid at any table size).
+
+    Crash matrix (kill at any point of ``write_run_outputs``):
+    * mid docs/findings/lineage/metrics write — Spark's output committer
+      leaves only ``_temporary`` residue (ignored by readers) and/or a
+      committed partition dir; the run has no marker, so every partition
+      dir for it is removed here and the rerun reprocesses those urls.
+    * after the marker — the run is complete; rerun resumes to a no-op.
+
+    Returns {table: [removed run_ids]}.
+    """
+    import shutil
+    from urllib.parse import unquote
+
+    removed: dict[str, list[str]] = {}
+    for t in tables:
+        path = os.path.join(output_dir, t)
+        if not os.path.isdir(path):
+            continue
+        for d in os.listdir(path):
+            if not d.startswith("run_id="):
+                continue
+            rid = unquote(d.split("=", 1)[1])
+            if not run_committed(output_dir, rid):
+                shutil.rmtree(os.path.join(path, d))
+                removed.setdefault(t, []).append(rid)
+    return removed
+
+
 def write_run_outputs(
     spark: SparkSession,
     docs: DataFrame,
@@ -144,6 +214,88 @@ def write_run_outputs(
     return sum(r["docs_scanned"] for r in metrics_rows)
 
 
+def incremental_near_dedup(
+    spark: SparkSession,
+    output_dir: str,
+    run_id: str,
+    text_col: str = "scrubbed_text",
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Delta-mode keep-one near-dedup: shingle/minhash ONLY this run's docs,
+    band-join them against the persisted signature table (new x all, never
+    all x all re-shingling), append the new pairs, and rebuild
+    components/canonical from the accumulated (metadata-sized) pair set.
+
+    Tables under ``output_dir``:
+
+    * ``signatures``   — append-only (doc_id=url, shingle_hashes, mh_*,
+                         run_id); each run appends exactly its delta.
+    * ``neardup_pairs`` — append-only (id_a, id_b, jaccard, run_id); the
+                         accumulated set equals full recompute exactly
+                         (old x old pairs came from the runs that
+                         introduced them).
+    * ``neardup`` / ``docs_deduped`` — rewritten from the pair set, same
+                         schema/semantics as the full ``dedup_near`` path.
+
+    Crash-replay safe: reruns of the same run_id re-append, and both reads
+    dedupe on key. Parity with ``mark_near_duplicate_docs`` (full
+    recompute) is pinned by the pipeline pytest and the ``minhash_delta``
+    oracle; the only divergence channel is an xxhash64 shingle collision
+    (~2^-64 per shingle pair).
+
+    Reference analogue: F8 incremental chunk recompute,
+    ``app/services/base_scan_service.py:643-731``.
+    """
+    from pii_detector_spark.operators import delta_dedup
+    from pii_detector_spark.operators.clusters import canonicalize
+
+    docs_path = os.path.join(output_dir, "docs")
+    sig_path = os.path.join(output_dir, "signatures")
+    pairs_path = os.path.join(output_dir, "neardup_pairs")
+
+    written = spark.read.parquet(docs_path)
+    new_docs = written.filter(F.col("run_id") == run_id)
+    delta_dedup.minhash_signatures(
+        new_docs,
+        id_col="url",
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    ).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+        sig_path
+    )
+
+    all_sigs = spark.read.parquet(sig_path).dropDuplicates(["doc_id"])
+    new_sigs = all_sigs.filter(F.col("run_id") == run_id)
+    delta_dedup.minhash_pairs_delta(
+        all_sigs, new_sigs, num_hashes, bands, threshold
+    ).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+        pairs_path
+    )
+
+    all_pairs = spark.read.parquet(pairs_path).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    marked = canonicalize(
+        written, all_pairs, id_col="url", id_a="id_a", id_b="id_b"
+    )
+    neardup_path = os.path.join(output_dir, "neardup")
+    marked.select("url", "component", "is_canonical").write.mode(
+        "overwrite"
+    ).parquet(neardup_path)
+    canon = (
+        spark.read.parquet(neardup_path)
+        .filter(F.col("is_canonical"))
+        .select("url")
+    )
+    written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
+        os.path.join(output_dir, "docs_deduped")
+    )
+
+
 @dataclass
 class PipelineResult:
     docs_path: str
@@ -163,6 +315,7 @@ def run_pipeline(
     extract_html: bool = True,
     gc_deleted: bool = False,
     dedup_near: bool = False,
+    dedup_delta: bool = False,
 ) -> PipelineResult:
     """Batch scan job with checkpoint-resume; rerunning after a partial or
     complete prior run processes only not-yet-SCANNED urls (idempotent).
@@ -172,6 +325,13 @@ def run_pipeline(
     deleted (parquet-rewrite equivalent) from docs/findings/lineage, so a
     url deleted at the source disappears downstream and would be rescanned
     if it ever reappears.
+
+    ``dedup_delta=True`` is the incremental variant: only THIS run's docs
+    are shingled/minhashed; their signatures append to a persisted
+    ``signatures`` table and band-join against it (new x all), so a rerun
+    with 1% new docs does ~1% of the dedup work while the final
+    ``neardup``/``docs_deduped`` tables stay byte-equal to full recompute
+    (see ``incremental_near_dedup``).
 
     ``dedup_near=True`` runs the keep-one near-dup pass AFTER the docs sink
     (MinHash-LSH pairs over scrubbed_text → connected components →
@@ -201,7 +361,9 @@ def run_pipeline(
         if deleted is not None:
             checkpoint.gc_deleted_urls(spark, output_dir, deleted)
 
-    if dedup_near:
+    if dedup_delta:
+        incremental_near_dedup(spark, output_dir, run_id)
+    elif dedup_near:
         from pii_detector_spark.operators.clusters import (
             mark_near_duplicate_docs,
         )

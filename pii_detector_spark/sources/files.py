@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import csv
 import io
+import logging
 import re as _re
 import zipfile
 from xml.etree import ElementTree
@@ -187,9 +188,25 @@ def extract_file_text(name: str, data: bytes | None) -> str:
     return bytes(data).decode("utf-8", errors="replace")
 
 
+def extract_file_text_or_empty(name: str, data: bytes | None) -> str:
+    """Per-file degradation: one undecodable binary (encrypted PDF,
+    xref-stream layout, CONTINUE-spanning SST, …) must not abort the corpus
+    run — the reference wraps prepare_file in a broad try/except and yields
+    None for that file (``app/services/file_service.py`` prepare_file).
+    Returns '' and logs a warning instead of propagating out of the UDF."""
+    try:
+        return extract_file_text(name, data)
+    except Exception as exc:  # noqa: BLE001 — per-file degradation by design
+        logging.getLogger(__name__).warning(
+            "extract_file_text failed for %r (%s: %s); emitting empty text",
+            name, type(exc).__name__, exc,
+        )
+        return ""
+
+
 def _extract_batch(names: pd.Series, payloads: pd.Series) -> pd.Series:
     return pd.Series(
-        [extract_file_text(n, p) for n, p in zip(names, payloads)],
+        [extract_file_text_or_empty(n, p) for n, p in zip(names, payloads)],
         dtype="object",
     )
 

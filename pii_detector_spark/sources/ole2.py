@@ -218,6 +218,14 @@ def build_cfb(streams: dict[str, bytes]) -> bytes:
     n_fat = 1
     while (n_data + n_fat) > n_fat * (SECT // 4):
         n_fat += 1
+    if n_fat > 109:
+        # the writer emits only the 109 header DIFAT entries and no DIFAT
+        # sector chain; >109 FAT sectors (~6.9 MB payload) would overflow
+        # the header silently — fail loudly at the documented size cliff
+        raise Ole2Error(
+            f"streams too large for header-DIFAT-only writer "
+            f"({n_fat} FAT sectors > 109; ~6.9 MB total payload cap)"
+        )
     total = n_data + n_fat
     fat = [FREESECT] * total
     for k, v in fat_map.items():

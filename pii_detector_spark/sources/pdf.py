@@ -42,9 +42,11 @@ class PdfParseError(ValueError):
     """Unsupported or malformed PDF (encryption, xref/object streams, …)."""
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_START_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# group(2) present ⇒ indirect /Length (N G R) — fall back to endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
 
 # literal-string escapes (PDF 32000-1 §7.3.4.2)
 _ESCAPES = {
@@ -59,8 +61,45 @@ _ESCAPES = {
 }
 
 
+def _payload_end(data: bytes, dict_start: int, stream_start: int) -> int:
+    """Offset one past the stream payload that starts at ``stream_start``.
+
+    Uses the direct ``/Length`` entry from the dict head (the spec-mandated
+    byte count) so payloads containing ``endstream``/``endobj``/``\\r`` bytes
+    slice exactly; falls back to the first ``\\nendstream`` (no optional
+    ``\\r`` — a payload's own trailing 0x0D must not be consumed) only when
+    ``/Length`` is absent or an indirect reference.
+    """
+    lm = None
+    for lm_ in _LENGTH_RE.finditer(data, dict_start, stream_start):
+        lm = lm_
+    if lm is not None and lm.group(2) is None:
+        return stream_start + int(lm.group(1))
+    fe = data.find(b"\nendstream", stream_start)
+    return fe if fe != -1 else len(data)
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    """Scan ``N G obj … endobj`` bodies, skipping stream payloads byte-exactly
+    so binary payloads containing ``endobj`` cannot truncate an object."""
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if not m:
+            break
+        body_start = m.end()
+        search_from = body_start
+        sm = _STREAM_START_RE.search(data, body_start)
+        end = data.find(b"endobj", body_start)
+        if sm is not None and (end == -1 or sm.start() < end):
+            search_from = _payload_end(data, body_start, sm.end())
+            end = data.find(b"endobj", search_from)
+        if end == -1:
+            break
+        objs[int(m.group(1))] = data[body_start:end]
+        pos = end + len(b"endobj")
+    return objs
 
 
 def _dict_ref(body: bytes, key: bytes) -> int | None:
@@ -110,10 +149,10 @@ def _content_refs(page_body: bytes) -> list[int]:
 
 
 def _stream_bytes(obj_body: bytes) -> bytes:
-    m = _STREAM_RE.search(obj_body)
+    m = _STREAM_START_RE.search(obj_body)
     if not m:
         return b""
-    payload = m.group(1)
+    payload = obj_body[m.end() : _payload_end(obj_body, 0, m.end())]
     head = obj_body[: m.start()]
     if b"/FlateDecode" in head:
         return zlib.decompress(payload)

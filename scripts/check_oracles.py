@@ -50,9 +50,13 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time as _time
+
+    t_suite = _time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -62,7 +66,8 @@ def main() -> int:
             continue
         scols = sorted(sdf.columns)
         if name not in oracles:
-            print(f"  {name:28s} rows-only: {len(srows)} rows")
+            print(f"  {name:28s} rows-only: {len(srows)} rows "
+                  f"[{_time.monotonic() - t0:.2f}s]")
             continue
         ddf = con.sql(oracles[name])
         dcols = sorted(ddf.columns)
@@ -88,7 +93,8 @@ def main() -> int:
                         break
                 ok = False
         if ok:
-            print(f"  {name:28s} OK ({len(srows)} rows)")
+            print(f"  {name:28s} OK ({len(srows)} rows) "
+                  f"[{_time.monotonic() - t0:.2f}s]")
         else:
             failures.append(name)
 
@@ -98,6 +104,7 @@ def main() -> int:
         n = edf.count()
         print(f"  {'<entry>':28s} {n} rows, {len(edf.columns)} cols")
 
+    print(f"  suite wall time: {_time.monotonic() - t_suite:.1f}s")
     spark.stop()
     if failures:
         print("FAILED:", ", ".join(failures))

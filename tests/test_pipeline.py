@@ -344,3 +344,134 @@ def test_dedup_near_flag_writes_keep_one_tables(spark, tmp_path_factory):
         ).collect()
     }
     assert kept == {"https://a.example.com/1", "https://c.example.com/3"}
+
+
+def test_dedup_delta_parity_and_delta_only_work(spark, tmp_path_factory):
+    """Delta mode: run 1 (90% of corpus) + run 2 (10% new urls) must
+    (a) shingle ONLY the delta on run 2 (signature appends == new docs),
+    (b) produce neardup/docs_deduped tables identical to one-shot full
+    recompute (dedup_near=True) over the whole corpus, and
+    (c) be idempotent under crash-replay of run 2."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    uniq = (
+        "completely different content about distributed query engines "
+        "processing petabytes of web text with vectorized operators "
+    )
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def rows(urls, texts):
+        n = len(urls)
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": [None] * n,
+                "html": [None] * n,
+                "text": texts,
+                "lang": [None] * n,
+            },
+            schema=schema,
+        )
+
+    # batch1: 2 near-dup clusters + uniques; batch2 adds a member to
+    # cluster A and a brand-new unique — so run 2 must find new x old pairs
+    urls1 = [f"https://h{i}.example.com/p{i}" for i in range(8)]
+    texts1 = [
+        base,                                  # cluster A
+        base + "tail variation one two three", # cluster A (near)
+        uniq * 4,                              # cluster B
+        (uniq * 4) + " small appended delta",  # cluster B (near)
+    ] + [f"singleton document number {i} " + uniq[: 40 + 7 * i] + base[i * 9 : i * 9 + 220] for i in range(4)]
+    urls2 = ["https://new1.example.com/x", "https://new2.example.com/y"]
+    fresh = (
+        "this entirely new page tells a calm story about a quiet village "
+        "where people bake bread and share it with friendly travelers "
+        "during the long warm summer evenings near the old stone bridge "
+    ) * 3
+    texts2 = [base + "another near member", fresh]
+
+    d = tmp_path_factory.mktemp("delta_src")
+    pq_.write_table(rows(urls1, texts1), str(d / "b1.parquet"))
+    full_dir = tmp_path_factory.mktemp("delta_full_src")
+    pq_.write_table(
+        rows(urls1 + urls2, texts1 + texts2), str(full_dir / "all.parquet")
+    )
+
+    # reference: one-shot full recompute over everything
+    out_full = str(tmp_path_factory.mktemp("delta_out_full"))
+    run_pipeline(
+        spark, str(full_dir), out_full, run_id="f1",
+        extract_html=False, dedup_near=True,
+    )
+
+    # delta: run 1 on batch1, then run 2 on the full listing (resume
+    # anti-join leaves only the 2 new urls)
+    out_delta = str(tmp_path_factory.mktemp("delta_out_inc"))
+    run_pipeline(
+        spark, str(d), out_delta, run_id="d1",
+        extract_html=False, dedup_delta=True,
+    )
+    run_pipeline(
+        spark, str(full_dir), out_delta, run_id="d2",
+        extract_html=False, dedup_delta=True,
+    )
+
+    sigs = spark.read.parquet(_os.path.join(out_delta, "signatures"))
+    # (a) run 2 appended signatures for exactly the 2 new docs — nothing
+    # from batch1 was re-shingled; run 1 signed its scrubbed (non-dropped)
+    # docs only
+    assert sigs.filter(sigs.run_id == "d2").count() == len(urls2)
+    docs_tbl = spark.read.parquet(_os.path.join(out_delta, "docs"))
+    n_d1_scrubbed = docs_tbl.filter(
+        (docs_tbl.run_id == "d1") & docs_tbl.scrubbed_text.isNotNull()
+    ).count()
+    assert sigs.filter(sigs.run_id == "d1").count() == n_d1_scrubbed
+
+    def snap(out):
+        nd = {
+            r["url"]: (r["component"], r["is_canonical"])
+            for r in spark.read.parquet(
+                _os.path.join(out, "neardup")
+            ).collect()
+        }
+        kept = {
+            r["url"]
+            for r in spark.read.parquet(
+                _os.path.join(out, "docs_deduped")
+            ).collect()
+        }
+        return nd, kept
+
+    nd_full, kept_full = snap(out_full)
+    nd_delta, kept_delta = snap(out_delta)
+    # (b) byte-equal decisions: same components (component = min url in
+    # both paths), same canonical flags, same kept set
+    assert nd_delta == nd_full
+    assert kept_delta == kept_full
+    # sanity: the run-2 near member actually joined cluster A
+    assert nd_delta["https://new1.example.com/x"][0] == nd_delta[urls1[0]][0]
+    assert nd_delta["https://new1.example.com/x"][1] is False
+
+    # (c) crash-replay of run 2: everything already SCANNED -> no new
+    # signatures, outputs unchanged
+    run_pipeline(
+        spark, str(full_dir), out_delta, run_id="d2",
+        extract_html=False, dedup_delta=True,
+    )
+    nd_replay, kept_replay = snap(out_delta)
+    assert nd_replay == nd_full and kept_replay == kept_full

@@ -489,3 +489,82 @@ def test_pdf_roundtrip_property():
         assert extract_pdf_text(pdf) == "\n".join(pages)
 
     check()
+
+
+def test_extract_file_text_per_file_degradation(caplog):
+    """One undecodable binary degrades to '' (reference prepare_file's broad
+    try/except → None per file), never propagates out of the batch UDF."""
+    import logging as _logging
+
+    from pii_detector_spark.sources.files import (
+        _extract_batch,
+        extract_file_text_or_empty,
+    )
+
+    bad_pdf = b"%PDF-1.4\nnot really a pdf"
+    with caplog.at_level(_logging.WARNING):
+        assert extract_file_text_or_empty("x.pdf", bad_pdf) == ""
+        assert extract_file_text_or_empty("x.doc", b"\x00\x01garbage") == ""
+        assert extract_file_text_or_empty("x.xls", b"junk") == ""
+    assert any("emitting empty text" in r.message for r in caplog.records)
+
+    import pandas as pd
+
+    out = _extract_batch(
+        pd.Series(["a.pdf", "b.txt"]), pd.Series([bad_pdf, b"plain ok"])
+    )
+    assert list(out) == ["", "plain ok"]
+
+
+def test_pdf_payload_containing_structural_keywords():
+    """Compressed payloads containing 'endobj'/'\\nendstream'/trailing \\r
+    bytes must slice via /Length, not the keyword scan."""
+    import zlib
+
+    from pii_detector_spark.sources.pdf import (
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+
+    # brute-force a page text whose deflate stream contains a structural
+    # keyword — deterministic search, no randomness
+    found = None
+    for i in range(20000):
+        t = f"page {i} body"
+        if b"endobj" in zlib.compress(t.encode("latin-1"), 9) or (
+            b"\nendstream" in zlib.compress(t.encode("latin-1"), 9)
+        ):
+            found = t
+            break
+    # even if no collision found, the CR-trailing payload cases below still
+    # pin the /Length path
+    pages = [found] if found else ["3X\xcc"]
+    assert extract_pdf_text(build_simple_pdf(pages)) == "\n".join(pages)
+    # payload whose deflate output ends with 0x0D (the r3 failure class)
+    assert extract_pdf_text(build_simple_pdf(["3X\xcc"])) == "3X\xcc"
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A chain longer than max_iter rounds must raise, not silently split."""
+    import pytest as _pytest
+
+    from pii_detector_spark.operators.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    comp = connected_components(pairs, max_iter=20).toPandas()
+    assert set(comp["comp"]) == {0}
+
+
+def test_ole2_difat_size_cliff():
+    """build_cfb must refuse >109 FAT sectors loudly (no DIFAT chaining)."""
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.ole2 import Ole2Error, build_cfb
+
+    with _pytest.raises(Ole2Error, match="DIFAT"):
+        build_cfb({"Big": b"\xab" * (8 * 1024 * 1024)})
