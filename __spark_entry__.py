@@ -1209,10 +1209,11 @@ def q_langid_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_ppl_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram (KenLM-style) perplexity over the planted corpus: the
-    English plant scores ~326 vs >760 for every other class (all content
-    words OOV → unigram floor), so the fluency decision at threshold 500
-    is a pure function of doc_id the oracle derives without the model."""
+    """Word-trigram stupid-backoff (KenLM-style) perplexity over the
+    planted corpus: the English plant scores ~579 vs ≥1692 for every other
+    class (content words OOV → backed-off unigram floor), so the fluency
+    decision at threshold 1000 is a pure function of doc_id the oracle
+    derives without the model."""
     from pii_detector_spark.operators.langid import with_word_perplexity
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1223,7 +1224,7 @@ def q_word_ppl_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_word_perplexity(d.select("doc_id", text.alias("text")))
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        (F.col("word_ppl") <= 500.0).alias("is_fluent"),
+        (F.col("word_ppl") <= 1000.0).alias("is_fluent"),
     )
 
 
@@ -1306,6 +1307,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal seam: deterministic PNGs
+    (``sources/png.py`` fixture writer, cycling all five scanline filters)
+    whose pixel values are base + x + y + 40*channel, so width/height/
+    channel-means have closed forms the DuckDB oracle reproduces; every
+    10th payload is junk and degrades to null features per file."""
+    import numpy as np
+
+    from pii_detector_spark.sources.png import build_png
+
+    rows = []
+    for m in range(1, 51):
+        if m % 10 == 0:
+            payload = b"JFIF-ish junk payload with no in-repo codec"
+        else:
+            base = (m * 13) % 160
+            w, h, ch = 4 + m % 5, 3 + m % 4, 1 + m % 3
+            arr = (
+                base
+                + np.arange(w)[None, :, None]
+                + np.arange(h)[:, None, None]
+                + 40 * np.arange(ch)[None, None, :]
+            ).astype(np.uint8)
+            payload = build_png(arr, filter_mode="cycle")
+        rows.append((m, "image", bytearray(payload)))
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = multimodal.extract_media_features(d, decode_stub=False)
+    f = F.col("features")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.element_at(f, 1).cast("long").alias("width"),
+        F.element_at(f, 2).cast("long").alias("height"),
+        F.element_at(f, 3).cast("long").alias("channels"),
+        F.round(F.element_at(f, 4).cast("double"), 6).alias("mean_c0"),
+        F.round(F.element_at(f, 5).cast("double"), 6).alias("mean_c1"),
+        F.round(F.element_at(f, 6).cast("double"), 6).alias("mean_c2"),
+    )
+
+
 def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -1334,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "png_features": q_png_features,
         "frame_sampling": q_frame_sampling,
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -2334,6 +2377,30 @@ SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
        octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS sha256
 FROM documents""",
+        "png_features": """
+WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
+p AS (
+  SELECT media_id,
+         (media_id * 13) % 160 AS base,
+         4 + media_id % 5 AS w,
+         3 + media_id % 4 AS h,
+         1 + media_id % 3 AS ch,
+         media_id % 10 = 0 AS junk
+  FROM m
+)
+SELECT media_id::BIGINT AS media_id,
+  CASE WHEN junk THEN NULL ELSE w END::BIGINT AS width,
+  CASE WHEN junk THEN NULL ELSE h END::BIGINT AS height,
+  CASE WHEN junk THEN NULL ELSE ch END::BIGINT AS channels,
+  round(CASE WHEN junk THEN NULL
+        ELSE base + (w - 1) / 2.0 + (h - 1) / 2.0 END, 6) AS mean_c0,
+  round(CASE WHEN junk THEN NULL
+        WHEN ch >= 2 THEN base + 40 + (w - 1) / 2.0 + (h - 1) / 2.0
+        ELSE 0.0 END, 6) AS mean_c1,
+  round(CASE WHEN junk THEN NULL
+        WHEN ch >= 3 THEN base + 80 + (w - 1) / 2.0 + (h - 1) / 2.0
+        ELSE 0.0 END, 6) AS mean_c2
+FROM p""",
         "frame_sampling": """
 WITH m AS (
   SELECT doc_id, octet_length(encode(repeat(text, 5))) AS nb FROM documents

@@ -257,12 +257,12 @@ def _fast_lm():
 # --- word-level LM (KenLM/CCNet-style token n-gram) ------------------------
 # The char-bigram LM above catches gibberish; CCNet's quality signal is a
 # TOKEN n-gram LM with backoff (Wenzek et al. 2019 §3.2; PAPERS.md). This is
-# the same method at the smallest honest size: a word-bigram model with
-# Jelinek-Mercer interpolation to an add-one unigram, trained on the seed
+# the same method at the smallest honest size: a trigram model with
+# stupid-backoff scoring (Brants et al. 2007 — the web-scale backoff KenLM
+# practice uses when Kneser-Ney counts are overkill), trained on the seed
 # corpus. Same deterministic-artifact/broadcast pattern as everything else
 # in this module.
 
-_WORD_LM_LAMBDA = 0.7  # bigram weight; 1-λ on the unigram backoff
 _MAX_DOC_TOKENS = 400
 
 
@@ -270,61 +270,95 @@ def _word_tokens(s: str) -> list[str]:
     return _DIGITS.sub("0", s.lower()).split()
 
 
-@lru_cache(maxsize=1)
-def _word_bigram_lm():
-    """Dense (K×K) interpolated log-prob table + word→id map.
+_SB_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007, "Large LMs")
 
-    cell (h, w) = log(λ·c(hw)/c_ctx(h) + (1-λ)·(c(w)+1)/(N+V)); id 0 = OOV
-    (unigram floor everywhere). Rows for contexts never seen fall back to
-    the pure unigram column. K ≈ vocab of the seed corpus (~200) — a few
-    hundred KB per executor, built once per process.
+
+@lru_cache(maxsize=1)
+def _word_backoff_lm():
+    """Stupid-backoff TRIGRAM tables (KenLM-practice backoff scoring, vs
+    the interpolated bigram of ``_word_bigram_lm``):
+
+        S(w | h2 h1) = c3/c(h2 h1)          if the trigram was seen
+                     = α · S(w | h1)         otherwise
+        S(w | h1)    = c2/c(h1)              if the bigram was seen
+                     = α · S_uni(w)          otherwise  (add-1 unigram, OOV floor)
+
+    Dense numpy scoring artifacts: ``B[K, K]`` holds S(w|h1) for every
+    (h1, w); seen-trigram contexts (a few hundred) live in ``T[C, K]``
+    (0 = unseen → back off), addressed via a sorted packed-key array and
+    ``searchsorted`` — no per-token Python in the hot loop. ~K²+CK floats
+    per executor (K ≈ 200), broadcast once like every other artifact.
     """
     import numpy as np
 
     uni: dict[str, int] = {}
-    ctx: dict[str, int] = {}
-    bi: dict[tuple[str, str], int] = {}
+    big: dict[tuple[str, str], int] = {}
+    tri: dict[tuple[str, str, str], int] = {}
     n_targets = 0
     for s in SEED_CORPUS["en"]:
-        toks = ["<s>", *_word_tokens(s), "</s>"]
-        for h, w in zip(toks, toks[1:]):
-            ctx[h] = ctx.get(h, 0) + 1
-            bi[(h, w)] = bi.get((h, w), 0) + 1
+        seq = ["<s>", "<s>", *_word_tokens(s), "</s>"]
+        for w in seq[2:]:
             uni[w] = uni.get(w, 0) + 1
             n_targets += 1
-    vocab = sorted(set(uni) | set(ctx))
-    V = len(vocab) + 1  # +1 for OOV
+        for a, b in zip(seq[1:], seq[2:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    vocab = sorted({w for pair in big for w in pair} | set(uni))
+    V = len(vocab) + 1
     word_id = {w: i + 1 for i, w in enumerate(vocab)}
     K = V
-    p_uni = np.full(K, 1.0 / (n_targets + V), dtype=np.float64)  # OOV floor
+    s_uni = np.full(K, 1.0 / (n_targets + V), dtype=np.float64)
     for w, c in uni.items():
-        p_uni[word_id[w]] = (c + 1.0) / (n_targets + V)
-    lam = _WORD_LM_LAMBDA
-    table = np.log((1.0 - lam) * p_uni)[None, :].repeat(K, axis=0)
-    for (h, w), c in bi.items():
-        hi, wi = word_id[h], word_id[w]
-        table[hi, wi] = math.log(
-            lam * c / ctx[h] + (1.0 - lam) * p_uni[wi]
-        )
-    return word_id, table
+        s_uni[word_id[w]] = (c + 1.0) / (n_targets + V)
+
+    ctx1 = {}  # c(h1) over bigram events
+    for (a, _b), c in big.items():
+        ctx1[a] = ctx1.get(a, 0) + c
+    B = np.repeat((_SB_ALPHA * s_uni)[None, :], K, axis=0)
+    for (a, b), c in big.items():
+        B[word_id[a], word_id[b]] = c / ctx1[a]
+
+    ctx2 = {}  # c(h2 h1) over trigram events
+    for (a, b, _c), c in tri.items():
+        ctx2[(a, b)] = ctx2.get((a, b), 0) + c
+    ctx_list = sorted(
+        (word_id[a] * K + word_id[b], (a, b)) for (a, b) in ctx2
+    )
+    ctx_keys = np.array([k for k, _ in ctx_list], dtype=np.int64)
+    row_of = {pair: r for r, (_k, pair) in enumerate(ctx_list)}
+    T = np.zeros((len(ctx_list) + 1, K), dtype=np.float64)
+    for (a, b, c), n in tri.items():
+        T[row_of[(a, b)], word_id[c]] = n / ctx2[(a, b)]
+    return word_id, K, s_uni, B, ctx_keys, T
 
 
 def word_perplexity(text: str) -> float:
-    """Word-bigram perplexity vs the English seed LM (<s> w1 … wn </s>;
-    ppl over the n+1 transitions). inf for token-free docs."""
+    """Word-trigram stupid-backoff perplexity vs the English seed LM
+    (<s> <s> w1 … wn </s>; ppl over the n+1 scored transitions). inf for
+    token-free docs."""
     if not text:
         return float("inf")
     import numpy as np
 
-    word_id, table = _word_bigram_lm()
+    word_id, K, _s_uni, B, ctx_keys, T = _word_backoff_lm()
     toks = _word_tokens(text[: _MAX_DOC_CHARS * 4])[:_MAX_DOC_TOKENS]
     if not toks:
         return float("inf")
-    seq = ["<s>", *toks, "</s>"]
+    seq = ["<s>", "<s>", *toks, "</s>"]
     ids = np.fromiter(
         (word_id.get(w, 0) for w in seq), dtype=np.int64, count=len(seq)
     )
-    lps = table[ids[:-1], ids[1:]]
+    h2, h1, w = ids[:-2], ids[1:-1], ids[2:]
+    packed = h2 * K + h1
+    pos = np.minimum(
+        np.searchsorted(ctx_keys, packed), len(ctx_keys) - 1
+    )
+    seen_ctx = ctx_keys[pos] == packed
+    rows = np.where(seen_ctx, pos, len(ctx_keys))  # sentinel all-zero row
+    tri_p = T[rows, w]
+    p = np.where(tri_p > 0.0, tri_p, _SB_ALPHA * B[h1, w])
+    lps = np.log(p)
     return math.exp(-float(lps.sum()) / len(lps))
 
 

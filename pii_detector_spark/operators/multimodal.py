@@ -2,13 +2,15 @@
 
 Media ride as opaque ``binary`` payloads with typed metadata — the Spark
 side (schema, Arrow batching, ``mapInPandas`` iterator shape, partition
-sizing) is real and tested; the codec step is stubbed because no
-image/audio libraries exist in this environment:
+sizing) is real and tested:
 
 * ``decode_stub=True`` (default) → a deterministic fake decoder
   (byte-histogram features) so the full plumbing is exercisable.
-* ``decode_stub=False`` → raises ``NotImplementedError`` at the exact seam
-  where PIL/soundfile/PyAV would plug in.
+* ``decode_stub=False`` → REAL decode for formats with an in-repo codec:
+  PNG (``sources/png.py``, stdlib zlib + unfilter) yields
+  width/height/channel-mean features; formats without a codec (JPEG,
+  audio, video — PIL/soundfile/PyAV would plug in at
+  ``_real_decode_features``) degrade to null features per file.
 
 ``mapInPandas`` (not a scalar UDF) because decoders want iterator state
 (codec contexts) and because output rows ≠ input rows for frame sampling.
@@ -57,6 +59,34 @@ FEATURES_SCHEMA = StructType(
 
 N_FEATURES = 16
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _real_decode_features(payload: bytes) -> list[float] | None:
+    """Real decode for the formats with an in-repo codec (PNG today,
+    ``sources/png.py``): [width, height, channels, mean_ch0..mean_ch3,
+    0-padded] as N_FEATURES floats. Channel means are computed in float64
+    over the decoded pixel array — for the deterministic fixtures the
+    oracle reproduces them in closed form.
+
+    Returns None (null features, per-file degradation — same policy as
+    ``sources/files.py``) for non-PNG payloads and undecodable PNGs: one
+    corrupt image must not fail the corpus task. The n_bytes/sha256
+    columns still materialize for such rows."""
+    if not payload or not payload.startswith(_PNG_MAGIC):
+        return None
+    from pii_detector_spark.sources.png import PngParseError, decode_png
+
+    try:
+        width, height, channels, px = decode_png(payload)
+    except PngParseError:
+        return None
+    means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
+    out = [float(width), float(height), float(channels)]
+    out += [float(m) for m in means]
+    out += [0.0] * (N_FEATURES - len(out))
+    return out
+
 
 def _fake_decode_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for decode + feature extraction: a 16-bin
@@ -72,15 +102,18 @@ def _fake_decode_features(payload: bytes) -> list[float]:
 def extract_media_features(
     df: DataFrame, decode_stub: bool = True
 ) -> DataFrame:
-    """media table → per-item feature rows via mapInPandas."""
+    """media table → per-item feature rows via mapInPandas.
+
+    ``decode_stub=True``: deterministic byte-histogram fake (plumbing
+    exerciser). ``decode_stub=False``: REAL decode for the formats with an
+    in-repo codec — PNG via ``sources/png.py`` (width/height/channel-mean
+    features); other formats degrade to null features (PIL/soundfile/PyAV
+    would plug in at ``_real_decode_features``)."""
+
+    decode = _fake_decode_features if decode_stub else _real_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub and len(pdf):
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/PyAV; "
-                    "not available in this environment"
-                )
             # column zips, not iterrows(): per-row pandas indexing is the
             # slow path inside an Arrow batch (10-50x on wide batches)
             payloads = [p or b"" for p in pdf["payload"]]
@@ -92,7 +125,7 @@ def extract_media_features(
                     "sha256": [
                         hashlib.sha256(p).hexdigest() for p in payloads
                     ],
-                    "features": [_fake_decode_features(p) for p in payloads],
+                    "features": [decode(p) for p in payloads],
                 }
             )
 

@@ -35,12 +35,19 @@ def metrics_path(output_dir: str) -> str:
     return os.path.join(output_dir, "metrics")
 
 
+LINEAGE_SCHEMA = (
+    "url STRING, content_md5 STRING, pattern_version INT, status STRING, "
+    "run_id STRING"
+)
+
+
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame | None:
     path = lineage_path(output_dir)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not os.path.isdir(path):
         return None
+    # explicit schema: an all-empty-appends lineage dir (e.g. every url
+    # prefiltered) has no data files to infer from, but is still a table
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
 
 
 def anti_join_completed(
@@ -135,7 +142,13 @@ def gc_deleted_urls(
         before = df.count()
         kept = df.join(dele, "url", "left_anti")
         tmp = path + "_gc_tmp"
-        kept.write.mode("overwrite").parquet(tmp)
+        writer = kept.write.mode("overwrite")
+        if "run_id" in df.columns:
+            # preserve the run_id-partitioned sink layout — a flat rewrite
+            # would mix layouts with later partitioned appends and break
+            # partition discovery
+            writer = writer.partitionBy("run_id")
+        writer.parquet(tmp)
         after = spark.read.parquet(tmp).count()
         os.rename(path, old)
         os.rename(tmp, path)

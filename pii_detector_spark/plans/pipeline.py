@@ -186,31 +186,52 @@ def write_run_outputs(
     n_out = 4 * spark.sparkContext.defaultParallelism
     docs = docs.coalesce(n_out)
 
-    # single computation pass → docs parquet (findings array rides along)
-    docs.select("run_id", *DOC_COLUMNS, "findings").write.mode(
-        "append"
-    ).parquet(docs_path)
+    # single computation pass → docs parquet (findings array rides along).
+    # All four sinks partition by run_id: each run's rows live in their own
+    # directory, so (a) a crashed run is removable file-level with no table
+    # rewrite (heal_uncommitted_runs), (b) the re-reads below and every
+    # downstream run_id filter get partition pruning.
+    out_docs = docs.select("run_id", *DOC_COLUMNS, "findings")
+    out_docs.write.mode("append").partitionBy("run_id").parquet(docs_path)
 
-    # everything downstream reads the columnar output back — no UDF re-run
-    this_run = spark.read.parquet(docs_path).filter(F.col("run_id") == run_id)
+    # everything downstream reads the columnar output back — no UDF re-run.
+    # Explicit schema: a run whose every append was empty leaves partition
+    # dirs with no data files to infer from (partitioned empty writes emit
+    # nothing, unlike flat writes).
+    this_run = (
+        spark.read.schema(out_docs.schema)
+        .parquet(docs_path)
+        .filter(F.col("run_id") == run_id)
+    )
 
     findings = findings_table(
         this_run.filter(F.col("findings").isNotNull()).select("url", "findings")
     ).withColumn("run_id", F.lit(run_id))
-    findings.write.mode("append").parquet(findings_path)
+    findings.write.mode("append").partitionBy("run_id").parquet(
+        findings_path
+    )
 
     checkpoint.build_lineage(
         this_run, pattern_version, run_id
-    ).write.mode("append").parquet(checkpoint.lineage_path(output_dir))
+    ).write.mode("append").partitionBy("run_id").parquet(
+        checkpoint.lineage_path(output_dir)
+    )
 
-    all_findings = spark.read.parquet(findings_path).filter(
+    all_findings = spark.read.schema(findings.schema).parquet(
+        findings_path
+    ).filter(
         F.col("run_id") == run_id
     )
     # build_metrics materializes the (tiny) counters driver-side; reuse them
     # for docs_written instead of a separate count() scan of the docs output
     metrics_df = checkpoint.build_metrics(this_run, all_findings, run_id)
     metrics_rows = metrics_df.collect()
-    metrics_df.write.mode("append").parquet(checkpoint.metrics_path(output_dir))
+    metrics_df.write.mode("append").partitionBy("run_id").parquet(
+        checkpoint.metrics_path(output_dir)
+    )
+    # all four sinks landed: commit the run (any kill before this line
+    # leaves an unmarked run that heal_uncommitted_runs removes wholesale)
+    mark_run_committed(output_dir, run_id)
     return sum(r["docs_scanned"] for r in metrics_rows)
 
 
@@ -258,26 +279,32 @@ def incremental_near_dedup(
 
     written = spark.read.parquet(docs_path)
     new_docs = written.filter(F.col("run_id") == run_id)
-    delta_dedup.minhash_signatures(
+    sig_delta = delta_dedup.minhash_signatures(
         new_docs,
         id_col="url",
         text_col=text_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
-    ).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-        sig_path
-    )
+    ).withColumn("run_id", F.lit(run_id))
+    sig_delta.write.mode("append").partitionBy("run_id").parquet(sig_path)
 
-    all_sigs = spark.read.parquet(sig_path).dropDuplicates(["doc_id"])
+    # explicit schemas: a run with zero scrubbed docs appends nothing, and
+    # a partitioned dir of empty appends has no files to infer from
+    all_sigs = (
+        spark.read.schema(sig_delta.schema)
+        .parquet(sig_path)
+        .dropDuplicates(["doc_id"])
+    )
     new_sigs = all_sigs.filter(F.col("run_id") == run_id)
-    delta_dedup.minhash_pairs_delta(
+    pairs_delta = delta_dedup.minhash_pairs_delta(
         all_sigs, new_sigs, num_hashes, bands, threshold
-    ).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-        pairs_path
-    )
+    ).withColumn("run_id", F.lit(run_id))
+    pairs_delta.write.mode("append").partitionBy("run_id").parquet(pairs_path)
 
-    all_pairs = spark.read.parquet(pairs_path).dropDuplicates(
-        ["id_a", "id_b"]
+    all_pairs = (
+        spark.read.schema(pairs_delta.schema)
+        .parquet(pairs_path)
+        .dropDuplicates(["id_a", "id_b"])
     )
     marked = canonicalize(
         written, all_pairs, id_col="url", id_a="id_a", id_b="id_b"
@@ -340,6 +367,10 @@ def run_pipeline(
     ``docs_deduped`` (kept docs only, same schema) and ``neardup``
     (url, component, is_canonical). The primary ``docs`` table is left
     complete so downstream consumers choose raw vs deduped."""
+    # remove partitions of any previously-crashed (unmarked) run BEFORE
+    # reading lineage — their urls then resume as unprocessed
+    heal_uncommitted_runs(spark, output_dir)
+
     raw = apply_prefilters(read_web_pages(spark, input_path))
     pending = raw
     lineage = None

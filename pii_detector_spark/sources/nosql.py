@@ -142,6 +142,94 @@ def align_item_columns(items: list[dict]) -> list[dict]:
     return [{c: item.get(c) for c in columns} for item in items]
 
 
+# --- DynamoDB segment pager (the real paging contract) ---------------------
+
+#: error codes DynamoDB documents as retryable for reads; the reference
+#: delegates these to botocore's retry machinery with max_attempts=10
+#: (``app/services/aws_base_service.py:13-20``)
+RETRYABLE_SCAN_CODES = frozenset(
+    {
+        "ProvisionedThroughputExceededException",
+        "ThrottlingException",
+        "InternalServerError",
+        "ServiceUnavailable",
+    }
+)
+
+DEFAULT_MAX_ATTEMPTS = 10  # reference budget: retries={'max_attempts': 10}
+
+
+def _default_is_retryable(exc: Exception) -> bool:
+    """botocore ``ClientError`` carries response['Error']['Code']; the seam
+    also accepts any exception exposing a ``code`` attribute so fakes and
+    other clients conform without botocore installed."""
+    code = getattr(exc, "code", None)
+    if code is None:
+        resp = getattr(exc, "response", None)
+        if isinstance(resp, dict):
+            code = resp.get("Error", {}).get("Code")
+    return code in RETRYABLE_SCAN_CODES
+
+
+def scan_segment_items(
+    scan_fn: Callable[..., dict],
+    params: dict,
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+    backoff_base_s: float = 0.05,
+    sleep: Callable[[float], None] | None = None,
+    is_retryable: Callable[[Exception], bool] = _default_is_retryable,
+) -> list[dict]:
+    """Walk ONE parallel-scan segment with DynamoDB's REAL paging contract
+    (conformance-tested against a faithful fake in
+    ``tests/test_nosql_plan.py``; reference cursor:
+    ``app/services/dynamodb.py:112-140``):
+
+    * pages thread ``LastEvaluatedKey`` → ``ExclusiveStartKey`` verbatim;
+    * the walk ends ONLY when ``LastEvaluatedKey`` is absent — an EMPTY
+      ``Items`` page with a key is normal (the 1 MB server-side page cut
+      can land mid-segment / before any matching item) and must not
+      terminate the scan;
+    * throttle-class errors (``RETRYABLE_SCAN_CODES``) re-request the SAME
+      page — same ``ExclusiveStartKey``; scans are idempotent reads — with
+      exponential backoff, up to ``max_attempts`` total attempts per page
+      (the reference's botocore budget); non-retryable errors propagate;
+    * items accumulate across pages in arrival order.
+    """
+    import time
+
+    do_sleep = time.sleep if sleep is None else sleep
+    items: list[dict] = []
+    page_params = dict(params)
+    while True:
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                page = scan_fn(**page_params)
+                break
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if attempt >= max_attempts or not is_retryable(exc):
+                    raise
+                do_sleep(backoff_base_s * (2 ** (attempt - 1)))
+        items.extend(page.get("Items") or [])
+        last_key = page.get("LastEvaluatedKey")
+        if not last_key:
+            return items
+        page_params = {**params, "ExclusiveStartKey": last_key}
+
+
+def dynamo_fetch_spec(
+    scan_fn: Callable[..., dict],
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+) -> "FetchSpec":
+    """Adapt a boto3-shaped ``scan`` callable into the ``FetchSpec`` seam
+    used by ``read_parallel_specs``: each executor task walks its segment's
+    full page chain via ``scan_segment_items``."""
+    return lambda spec: scan_segment_items(
+        scan_fn, spec, max_attempts=max_attempts
+    )
+
+
 # fetch_spec(spec_json: dict) -> list[dict] rows for that segment/range
 FetchSpec = Callable[[dict], "list[dict]"]
 

@@ -73,16 +73,15 @@ def incremental_pipeline(
     Idempotent under microbatch REPLAY: Structured Streaming is
     at-least-once into a foreachBatch sink — after a failure between sink
     completion and checkpoint commit, the same (deterministic) batch_id is
-    re-delivered. The sink therefore skips any batch whose run_id already
-    exists in the lineage table (the documented foreachBatch dedup recipe:
-    batchId as the transactional key), so a replayed batch appends nothing
-    twice and streaming and batch runs produce identical tables. The
-    lineage row is appended AFTER docs/findings inside
-    ``write_run_outputs``, so a run_id observed in lineage implies its
-    docs/findings are fully committed (the skip is never premature); a
-    crash strictly inside a first attempt can still leave partial parquet
-    for that one batch — the residue Iceberg's atomic append removes on a
-    cluster.
+    re-delivered. The sink therefore skips any batch whose run_id has a
+    commit marker (written after ALL four sinks in ``write_run_outputs`` —
+    the documented foreachBatch dedup recipe with batchId as the
+    transactional key), so a replayed batch appends nothing twice and
+    streaming and batch runs produce identical tables. A crash strictly
+    inside a first attempt leaves unmarked run_id partitions, which
+    ``heal_uncommitted_runs`` removes before the replay writes — every
+    crash point leaves readable, consistent tables (the parquet stand-in
+    for Iceberg's atomic multi-table commit).
     """
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
@@ -119,18 +118,20 @@ def idempotent_batch_write(
     pattern_version: int,
 ) -> bool:
     """foreachBatch body: write the four sinks UNLESS this run_id already
-    committed (lineage is the commit marker — appended after docs/findings
+    committed (the ``_commits/<run_id>`` marker lands after all four sinks
     in ``write_run_outputs``, so its presence implies a complete batch).
     Returns True when the batch was written, False on a replay skip."""
-    from pii_detector_spark.plans.checkpoint import read_lineage
-    from pii_detector_spark.plans.pipeline import write_run_outputs
+    from pii_detector_spark.plans.pipeline import (
+        heal_uncommitted_runs,
+        run_committed,
+        write_run_outputs,
+    )
 
-    lineage = read_lineage(spark, output_dir)
-    if (
-        lineage is not None
-        and lineage.filter(F.col("run_id") == run_id).limit(1).count() > 0
-    ):
+    if run_committed(output_dir, run_id):
         return False  # replayed microbatch: outputs already committed
+    # a replay without a marker means the first attempt crashed mid-write:
+    # drop its partial partitions before writing again
+    heal_uncommitted_runs(spark, output_dir)
     write_run_outputs(spark, batch_df, output_dir, run_id, pattern_version)
     return True
 

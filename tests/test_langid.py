@@ -124,46 +124,62 @@ def test_empty_and_numeric_fall_back_deterministically():
 
 
 def _word_ppl_naive(text: str) -> float:
-    """Independent dict-based reimplementation of the interpolated
-    word-bigram LM (same training spec, no numpy tables)."""
+    """Independent dict-based reimplementation of the stupid-backoff
+    trigram LM (same training spec and backoff chain, no numpy tables)."""
     import math as _math
 
     from pii_detector_spark.functions.langmodels import (
         _MAX_DOC_CHARS,
         _MAX_DOC_TOKENS,
-        _WORD_LM_LAMBDA,
+        _SB_ALPHA,
         _word_tokens,
         SEED_CORPUS,
     )
 
-    uni, ctx, bi = {}, {}, {}
+    uni, big, tri = {}, {}, {}
     n = 0
     for s in SEED_CORPUS["en"]:
-        toks = ["<s>", *_word_tokens(s), "</s>"]
-        for h, w in zip(toks, toks[1:]):
-            ctx[h] = ctx.get(h, 0) + 1
-            bi[(h, w)] = bi.get((h, w), 0) + 1
+        seq = ["<s>", "<s>", *_word_tokens(s), "</s>"]
+        for w in seq[2:]:
             uni[w] = uni.get(w, 0) + 1
             n += 1
-    V = len(sorted(set(uni) | set(ctx))) + 1
-    lam = _WORD_LM_LAMBDA
+        for a, b in zip(seq[1:], seq[2:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(seq, seq[1:], seq[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    vocab = {w for pair in big for w in pair} | set(uni)
+    V = len(vocab) + 1
+    ctx1, ctx2 = {}, {}
+    for (a, _b), c in big.items():
+        ctx1[a] = ctx1.get(a, 0) + c
+    for (a, b, _c), c in tri.items():
+        ctx2[(a, b)] = ctx2.get((a, b), 0) + c
 
-    def p_uni(w):
+    def s_uni(w):
         return (uni.get(w, 0) + 1.0) / (n + V)
+
+    def s2(h1, w):
+        if (h1, w) in big:
+            return big[(h1, w)] / ctx1[h1]
+        return _SB_ALPHA * s_uni(w)
+
+    def s3(h2, h1, w):
+        if (h2, h1, w) in tri:
+            return tri[(h2, h1, w)] / ctx2[(h2, h1)]
+        return _SB_ALPHA * s2(h1, w)
 
     toks = _word_tokens(text[: _MAX_DOC_CHARS * 4])[:_MAX_DOC_TOKENS]
     if not toks:
         return float("inf")
-    seq = ["<s>", *toks, "</s>"]
+    seq = ["<s>", "<s>", *toks, "</s>"]
+    # OOV words collapse to the shared OOV id in the table form
+    seq = [w if w in vocab else "\x00OOV" for w in seq[:2]] + [
+        w if w in vocab else "\x00OOV" for w in seq[2:]
+    ]
     total = 0.0
-    known = set(uni) | set(ctx)
-    for h, w in zip(seq, seq[1:]):
-        # OOV words/contexts collapse to id 0 in the table form
-        h = h if h in known else None
-        w = w if w in known else None
-        pb = bi.get((h, w), 0) / ctx[h] if h in ctx else 0.0
-        total += _math.log(lam * pb + (1 - lam) * p_uni(w))
-    return _math.exp(-total / (len(seq) - 1))
+    for h2, h1, w in zip(seq, seq[1:], seq[2:]):
+        total += _math.log(s3(h2, h1, w))
+    return _math.exp(-total / (len(seq) - 2))
 
 
 def test_word_perplexity_matches_naive_and_orders_fluency():

@@ -87,3 +87,194 @@ def test_read_parallel_specs_distributed_fetch(spark):
     assert rows[10]["email"] == "x@example.com"
     assert rows[0]["email"] is None
     assert rows[21]["name"] == "u2-1"
+
+
+# --- DynamoDB pager conformance (reference app/services/dynamodb.py:112-140,
+# retry budget aws_base_service.py:13-20) ------------------------------------
+
+
+class _Throttle(Exception):
+    code = "ProvisionedThroughputExceededException"
+
+
+class _Validation(Exception):
+    code = "ValidationException"
+
+
+class FakeDynamo:
+    """Faithful in-memory reproduction of the parallel-scan contract:
+
+    * items land in segments by key hash (disjoint, covering);
+    * each page returns <= page_size items; ``LastEvaluatedKey`` is present
+      iff the segment walk has more to evaluate, and is an opaque token the
+      client must thread back VERBATIM as ``ExclusiveStartKey``;
+    * positions listed in ``empty_cuts`` return an EMPTY page that still
+      carries a key (the 1 MB cut landing before any matching item);
+    * ``throttle_script[(segment, page_index)] = n`` fails that page's
+      first n attempts with a throttle error.
+    """
+
+    def __init__(self, n_items, total_segments, page_size=3,
+                 empty_cuts=(), throttle_script=None):
+        self.page_size = page_size
+        self.empty_cuts = set(empty_cuts)
+        self.throttle_script = dict(throttle_script or {})
+        self.seen_keys = []
+        self.by_segment = {s: [] for s in range(total_segments)}
+        for i in range(n_items):
+            self.by_segment[hash(f"k{i}") % total_segments].append(
+                {"pk": f"k{i}", "payload": i}
+            )
+
+    def scan(self, TableName, Segment, TotalSegments,
+             ExclusiveStartKey=None):
+        assert TableName == "t" and 0 <= Segment < TotalSegments
+        rows = self.by_segment[Segment]
+        if ExclusiveStartKey is None:
+            pos, page_idx = 0, 0
+        else:
+            # contract: the token must come back verbatim
+            assert ExclusiveStartKey in self.seen_keys
+            pos, page_idx = (
+                ExclusiveStartKey["__pos__"],
+                ExclusiveStartKey["__page__"] + 1,
+            )
+        fails = self.throttle_script.get((Segment, page_idx), 0)
+        if fails > 0:
+            self.throttle_script[(Segment, page_idx)] = fails - 1
+            raise _Throttle("slow down")
+        if (Segment, page_idx) in self.empty_cuts:
+            key = {"__pos__": pos, "__page__": page_idx, "__seg__": Segment}
+            self.seen_keys.append(key)
+            return {"Items": [], "LastEvaluatedKey": key}
+        page = rows[pos : pos + self.page_size]
+        new_pos = pos + len(page)
+        resp = {"Items": page}
+        if new_pos < len(rows):
+            key = {"__pos__": new_pos, "__page__": page_idx,
+                   "__seg__": Segment}
+            self.seen_keys.append(key)
+            resp["LastEvaluatedKey"] = key
+        return resp
+
+
+def _all_items(fake, total_segments, **kw):
+    from pii_detector_spark.sources.nosql import scan_segment_items
+
+    got = []
+    for seg in range(total_segments):
+        got += scan_segment_items(
+            fake.scan,
+            {"TableName": "t", "Segment": seg,
+             "TotalSegments": total_segments},
+            sleep=lambda s: None,
+            **kw,
+        )
+    return got
+
+
+class TestDynamoPagerConformance:
+    def test_exactly_once_across_segments(self):
+        fake = FakeDynamo(50, total_segments=4, page_size=3)
+        got = _all_items(fake, 4)
+        assert sorted(r["pk"] for r in got) == sorted(
+            f"k{i}" for i in range(50)
+        )
+        assert len(got) == 50  # no dup across page boundaries
+
+    def test_empty_pages_do_not_terminate(self):
+        # empty 1MB-cut pages in the middle of segment 0's walk
+        fake = FakeDynamo(30, total_segments=2, page_size=4,
+                          empty_cuts={(0, 1), (0, 2)})
+        got = _all_items(fake, 2)
+        assert len(got) == 30
+
+    def test_throttle_retries_same_page_then_succeeds(self):
+        from pii_detector_spark.sources.nosql import scan_segment_items
+
+        fake = FakeDynamo(10, total_segments=1, page_size=3,
+                          throttle_script={(0, 1): 2})
+        sleeps = []
+        got = scan_segment_items(
+            fake.scan,
+            {"TableName": "t", "Segment": 0, "TotalSegments": 1},
+            sleep=sleeps.append,
+        )
+        assert len(got) == 10
+        # exponential backoff, one sleep per failed attempt
+        assert sleeps == [0.05, 0.1]
+
+    def test_retry_budget_exhausted_raises(self):
+        import pytest as _pytest
+
+        from pii_detector_spark.sources.nosql import scan_segment_items
+
+        fake = FakeDynamo(10, total_segments=1, page_size=3,
+                          throttle_script={(0, 0): 99})
+        with _pytest.raises(_Throttle):
+            scan_segment_items(
+                fake.scan,
+                {"TableName": "t", "Segment": 0, "TotalSegments": 1},
+                max_attempts=5,
+                sleep=lambda s: None,
+            )
+        # exactly max_attempts attempts were made
+        assert fake.throttle_script[(0, 0)] == 99 - 5
+
+    def test_non_retryable_propagates_immediately(self):
+        import pytest as _pytest
+
+        from pii_detector_spark.sources.nosql import scan_segment_items
+
+        calls = {"n": 0}
+
+        def scan(**kw):
+            calls["n"] += 1
+            raise _Validation("bad request")
+
+        with _pytest.raises(_Validation):
+            scan_segment_items(scan, {"TableName": "t"},
+                               sleep=lambda s: None)
+        assert calls["n"] == 1
+
+    def test_distributed_fetch_through_pager(self, spark):
+        from pii_detector_spark.sources.nosql import (
+            dynamo_fetch_spec,
+            plan_dynamo_scan,
+            read_parallel_specs,
+        )
+
+        # self-contained closure fake (test-module classes can't be
+        # unpickled on executors): same paging contract, data by value
+        by_segment = {s: [] for s in range(4)}
+        for i in range(40):
+            by_segment[hash(f"k{i}") % 4].append(
+                {"pk": f"k{i}", "payload": i}
+            )
+
+        def scan(TableName, Segment, TotalSegments, ExclusiveStartKey=None):
+            rows = by_segment[Segment]
+            pos = (
+                0 if ExclusiveStartKey is None
+                else ExclusiveStartKey["__pos__"]
+            )
+            if Segment == 2 and pos == 0 and ExclusiveStartKey is None:
+                # 1MB cut before any item: empty page + key
+                return {"Items": [], "LastEvaluatedKey": {"__pos__": 0}}
+            page = rows[pos : pos + 7]
+            resp = {"Items": page}
+            if pos + len(page) < len(rows):
+                resp["LastEvaluatedKey"] = {"__pos__": pos + len(page)}
+            return resp
+
+        plan = plan_dynamo_scan("t", item_count=40, items_per_segment=10)
+        df = read_parallel_specs(
+            spark,
+            plan.segment_params(),
+            dynamo_fetch_spec(scan),
+            "pk string, payload long",
+        )
+        rows = df.collect()
+        assert sorted(r["pk"] for r in rows) == sorted(
+            f"k{i}" for i in range(40)
+        )

@@ -475,3 +475,76 @@ def test_dedup_delta_parity_and_delta_only_work(spark, tmp_path_factory):
     )
     nd_replay, kept_replay = snap(out_delta)
     assert nd_replay == nd_full and kept_replay == kept_full
+
+
+def test_crash_at_every_sink_heals_to_identical_tables(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Kill write_run_outputs at each sink seam (after docs / after
+    findings / after lineage / before the commit marker): the unmarked run
+    is healed on the next run, and the final four tables are identical to
+    a never-crashed run."""
+    import os as _os
+
+    import pii_detector_spark.plans.pipeline as pipemod
+    from pii_detector_spark.sources.datagen import write_web_pages
+
+    src = tmp_path_factory.mktemp("crash_src") / "pages.parquet"
+    write_web_pages(str(src), n_rows=120, seed=7)
+
+    def snapshot(out):
+        docs = spark.read.parquet(_os.path.join(out, "docs"))
+        findings = spark.read.parquet(_os.path.join(out, "findings"))
+        lineage = spark.read.parquet(_os.path.join(out, "lineage"))
+        metrics = spark.read.parquet(_os.path.join(out, "metrics"))
+        return (
+            sorted(
+                (r["url"], r["keep"], r["scrubbed_text"])
+                for r in docs.collect()
+            ),
+            sorted(
+                (r["url"], r["pii_type"], r["start"], r["end"])
+                for r in findings.collect()
+            ),
+            sorted(r["url"] for r in lineage.collect()),
+            sum(r["docs_scanned"] for r in metrics.collect()),
+        )
+
+    out_clean = str(tmp_path_factory.mktemp("crash_clean"))
+    run_pipeline(spark, str(src), out_clean, run_id="ok")
+    ref = snapshot(out_clean)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected sink crash")
+
+    seams = {
+        "after_docs": ("pii_detector_spark.plans.pipeline.findings_table",),
+        "after_findings": (
+            "pii_detector_spark.plans.checkpoint.build_lineage",
+        ),
+        "after_lineage": (
+            "pii_detector_spark.plans.checkpoint.build_metrics",
+        ),
+        "before_marker": (
+            "pii_detector_spark.plans.pipeline.mark_run_committed",
+        ),
+    }
+    for seam, (target,) in seams.items():
+        out = str(tmp_path_factory.mktemp(f"crash_{seam}"))
+        with monkeypatch.context() as mp:
+            mod_path, attr = target.rsplit(".", 1)
+            import importlib
+
+            mp.setattr(importlib.import_module(mod_path), attr, boom)
+            with pytest.raises(RuntimeError, match="injected sink crash"):
+                run_pipeline(spark, str(src), out, run_id="c1")
+        # crashed run left no marker
+        assert not pipemod.run_committed(out, "c1")
+        # rerun under a fresh run_id: heal removes c1 partitions, the full
+        # input reprocesses, tables match the never-crashed reference
+        run_pipeline(spark, str(src), out, run_id="c2")
+        got = snapshot(out)
+        assert got == ref, f"seam {seam}: healed tables differ"
+        # nothing from the crashed run survived
+        docs = spark.read.parquet(_os.path.join(out, "docs"))
+        assert docs.filter(docs.run_id == "c1").count() == 0

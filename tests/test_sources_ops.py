@@ -568,3 +568,95 @@ def test_ole2_difat_size_cliff():
 
     with _pytest.raises(Ole2Error, match="DIFAT"):
         build_cfb({"Big": b"\xab" * (8 * 1024 * 1024)})
+
+
+def test_png_roundtrip_property():
+    """Property: decode(build(pixels)) == pixels for arbitrary small
+    images across all 5 scanline filters and 1/2/3/4 channels."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pii_detector_spark.sources.png import build_png, decode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 10),
+        ch=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+        fm=st.sampled_from(["cycle", 0, 1, 2, 3, 4]),
+    )
+    def check(w, h, ch, seed, fm):
+        arr = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8
+        )
+        width, height, channels, px = decode_png(build_png(arr, fm))
+        assert (width, height, channels) == (w, h, ch)
+        assert np.array_equal(px, arr)
+
+    check()
+
+
+def test_png_error_paths():
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.png import (
+        PngParseError,
+        build_png,
+        decode_png,
+    )
+
+    with _pytest.raises(PngParseError, match="signature"):
+        decode_png(b"GIF89a not a png")
+    good = bytearray(build_png(np.full((4, 4), 9, np.uint8)))
+    bad = bytearray(good)
+    bad[20] ^= 0x55
+    with _pytest.raises(PngParseError, match="CRC"):
+        decode_png(bytes(bad))
+    # interlace flag set (CRC re-fixed so the parser reaches the check)
+    interlaced = bytearray(good)
+    interlaced[28] = 1  # IHDR body byte 12 = interlace method
+    struct.pack_into(
+        ">I",
+        interlaced,
+        29,
+        _zlib.crc32(b"IHDR" + bytes(interlaced[16:29])) & 0xFFFFFFFF,
+    )
+    with _pytest.raises(PngParseError, match="interlace"):
+        decode_png(bytes(interlaced))
+
+
+def test_png_through_spark_seam(spark):
+    """decode_stub=False: PNG payloads get real width/height/channel-mean
+    features; junk payloads degrade to null features (not a task abort)."""
+    import numpy as np
+
+    from pii_detector_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from pii_detector_spark.sources.png import build_png
+
+    arr = np.zeros((3, 5, 3), np.uint8)
+    arr[..., 0] = 10
+    arr[..., 1] = 20
+    arr[..., 2] = 255
+    rows = [
+        (1, "image", bytearray(build_png(arr))),
+        (2, "image", bytearray(b"not an image at all")),
+    ]
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_media_features(d, decode_stub=False).collect()
+    }
+    assert got[2] is None
+    f = got[1]
+    assert f[:6] == [5.0, 3.0, 3.0, 10.0, 20.0, 255.0]
+    assert f[6:] == [0.0] * 10
