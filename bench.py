@@ -54,6 +54,8 @@ HEADLINE_QUERIES = (
     "extract_pdf_text",
     "extract_legacy_text",
     "word_ppl_planted",
+    "minhash_delta",   # r4: incremental dedup parity path
+    "png_features",    # r4: real PNG decode through the multimodal seam
 )
 
 

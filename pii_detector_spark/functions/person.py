@@ -76,12 +76,33 @@ FIRST_NAMES: frozenset[str] = frozenset(
         "Stephen", "Steven", "Susan", "Teresa", "Terry", "Theresa",
         "Thomas", "Timothy", "Tyler", "Victoria", "Vincent", "Virginia",
         "Walter", "Wayne", "William", "Willie", "Zachary",
+        # common non-ASCII Latin given names (r4 recall hardening; kept
+        # within the Latin-1 ranges the name tokenizer covers)
+        "José", "María", "André", "François", "Jürgen", "Søren", "Zoë",
+        "René", "Björn", "Inés", "Óscar", "Åsa",
     }
 )
 
-# capitalized token, optionally followed by one more capitalized token on
-# the same line (single spaces/tabs between) — the MITIE-tokenizer analogue
-_CAP_RUN = re.compile(r"\b([A-Z][a-z]+)((?:[ \t]+[A-Z][a-z]+)?)")
+# Name-token character classes: ASCII plus the Latin-1 letter ranges, so
+# José / Müller / Søren tokenize as one name token instead of stopping at
+# the first accented letter (r4 recall hardening).
+_UC = "A-ZÀ-ÖØ-Þ"
+_LC = "a-zß-öø-ÿ"
+#: one name token: capitalized word, optionally hyphen-joined capitalized
+#: components (Mary-Jane, Smith-Jones)
+_NAME = rf"[{_UC}][{_LC}]+(?:-[{_UC}][{_LC}]+)*"
+
+#: honorific evidence — a title before a capitalized token is full-name-
+#: strength evidence even without a gazetteer hit ("Dr. Smith"); the title
+#: itself is NOT part of the entity span
+TITLES = ("Dr", "Mr", "Mrs", "Ms", "Prof", "Rev", "Sir")
+
+# optional title, then a name token, optionally one more on the same line
+# (single spaces/tabs between) — the MITIE-tokenizer analogue
+_CAP_RUN = re.compile(
+    rf"(?:\b({'|'.join(TITLES)})\.?[ \t]+)?"
+    rf"\b({_NAME})((?:[ \t]+{_NAME})?)"
+)
 
 
 @lru_cache(maxsize=1)
@@ -91,16 +112,32 @@ def _compiled() -> "re.Pattern[str]":
 
 def detect_person(text: str) -> list[tuple[str, int, int, float]]:
     """All PERSON entities passing the score floor, left-to-right,
-    non-overlapping: [(value, start, end, rounded_score), ...]."""
+    non-overlapping: [(value, start, end, rounded_score), ...].
+
+    Evidence rules (each mirrored verbatim in ``tests/oracle.py``):
+
+    * title + name token(s)      → SCORE_FULL_NAME (span excludes title)
+    * gazetteer first + surname  → SCORE_FULL_NAME (first component of a
+      hyphenated given name carries the gazetteer hit)
+    * lone gazetteer first name  → SCORE_LONE_FIRST_NAME — below the F13
+      floor, so sentence-initial ambiguity ("Mark the date", "Grace under
+      pressure") never emits a finding
+    """
     if not text:
         return []
     out: list[tuple[str, int, int, float]] = []
     for m in _compiled().finditer(text):
-        if m.group(1) not in FIRST_NAMES:
-            continue
-        score = SCORE_FULL_NAME if m.group(2) else SCORE_LONE_FIRST_NAME
+        title, first_tok, rest = m.group(1), m.group(2), m.group(3)
+        if title:
+            score = SCORE_FULL_NAME
+        else:
+            if first_tok.split("-", 1)[0] not in FIRST_NAMES:
+                continue
+            score = SCORE_FULL_NAME if rest else SCORE_LONE_FIRST_NAME
         score = round(score, 1)
         if score < MIN_PERSON_SCORE:
             continue
-        out.append((m.group(0), m.start(), m.end(), score))
+        out.append(
+            (text[m.start(2) : m.end()], m.start(2), m.end(), score)
+        )
     return out

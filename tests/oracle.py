@@ -76,21 +76,30 @@ def oracle_mask(entity: str, value: str) -> str:
     return stars(value)
 
 
-# capitalized token optionally followed by one more (the PERSON candidate
+# optional title + name token(s) (the PERSON candidate
 # shape; FIRST_NAMES / score constants are shared data artifacts like the
 # regex strings — the decision loop below is independent)
-_CAPRUN = re.compile(r"\b([A-Z][a-z]+)((?:[ \t]+[A-Z][a-z]+)?)")
+_O_NAME = r"[A-ZÀ-ÖØ-Þ][a-zß-öø-ÿ]+(?:-[A-ZÀ-ÖØ-Þ][a-zß-öø-ÿ]+)*"
+_CAPRUN = re.compile(
+    r"(?:\b(Dr|Mr|Mrs|Ms|Prof|Rev|Sir)\.?[ \t]+)?"
+    rf"\b({_O_NAME})((?:[ \t]+{_O_NAME})?)"
+)
 
 
 def oracle_person(text: str) -> list[tuple[int, str, int, int, str]]:
     found = []
     for m in _CAPRUN.finditer(text):
-        if m.group(1) not in FIRST_NAMES:
-            continue
-        score = SCORE_FULL_NAME if m.group(2) else SCORE_LONE_FIRST_NAME
+        if m.group(1):
+            score = SCORE_FULL_NAME
+        else:
+            if m.group(2).split("-", 1)[0] not in FIRST_NAMES:
+                continue
+            score = SCORE_FULL_NAME if m.group(3) else SCORE_LONE_FIRST_NAME
         if round(score, 1) < MIN_PERSON_SCORE:
             continue
-        found.append((-1, "PERSON", m.start(), m.end(), m.group(0)))
+        found.append(
+            (-1, "PERSON", m.start(2), m.end(), text[m.start(2) : m.end()])
+        )
     return found
 
 

@@ -140,6 +140,55 @@ class TestPersonNER:
                 oracle_scrub(doc, include_person=True)[0]
             ), doc
 
+    def test_person_recall_hardened_corpus(self):
+        """r4 recall hardening: titles, hyphenated and non-ASCII names,
+        and sentence-initial ambiguity. Reports recall over the planted
+        positives and demands zero hits on the ambiguity negatives."""
+        from pii_detector_spark.functions.person import detect_person
+
+        # (text, expected detected value) — one planted person each
+        positives = [
+            ("please contact Alice Walker today", "Alice Walker"),
+            ("appointment with Dr. Navarro at noon", "Navarro"),
+            ("Dr Sarah Smith will attend", "Sarah Smith"),
+            ("ask Prof Wei about the draft", "Wei"),
+            ("Mrs. Thompson agreed to the terms", "Thompson"),
+            ("Sir Lancelot rides at dawn", "Lancelot"),
+            ("Mary-Jane Watson arrived early", "Mary-Jane Watson"),
+            ("met Sarah Smith-Jones yesterday", "Sarah Smith-Jones"),
+            ("Jean-Paul Sartre wrote it", "Jean-Paul Sartre"),
+            ("José García signed the form", "José García"),
+            ("Jürgen Müller called back", "Jürgen Müller"),
+            ("Zoë Quinn replied at once", "Zoë Quinn"),
+            ("François Dubois approved", "François Dubois"),
+            # sentence-initial genuine person (full name disambiguates)
+            ("Mark Harrison opened the meeting", "Mark Harrison"),
+        ]
+        negatives = [  # must emit nothing (lone firsts / non-name caps)
+            "Mark the date on the calendar",
+            "Grace under pressure is rare",
+            "Will this be enough for the demo",
+            "the Meeting Notes were long",
+            "Frank discussion followed the Standard Procedure",
+        ]
+        hits = 0
+        misses = []
+        for text, want in positives:
+            got = [v for v, *_ in detect_person(text)]
+            if want in got:
+                hits += 1
+            else:
+                misses.append((text, got))
+        recall = hits / len(positives)
+        assert recall == 1.0, f"recall={recall:.2f}, misses={misses}"
+        for text in negatives:
+            assert detect_person(text) == [], text
+        # parity: the independent oracle agrees on every hardened doc
+        for text, _want in positives:
+            assert _norm(detect(text, include_person=True)) == _norm(
+                oracle_detect(text, include_person=True)
+            ), text
+
     def test_fused_pipeline_emits_person(self):
         from pii_detector_spark.config import QualityThresholds
         from pii_detector_spark.operators.fused import process_document
