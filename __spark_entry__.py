@@ -1348,6 +1348,49 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal seam: deterministic 16-bit
+    PCM WAVs (``sources/wav.py``) — channel 0 a DC level, channel 1 (when
+    stereo) a ±amp square wave — so framerate/channels/frames and
+    per-channel mean/RMS have closed forms; every 10th payload is junk and
+    degrades to null features."""
+    import numpy as np
+
+    from pii_detector_spark.sources.wav import build_wav
+
+    rows = []
+    for m in range(1, 51):
+        if m % 10 == 0:
+            payload = b"OggS junk payload with no in-repo codec"
+        else:
+            rate = 8000 + 100 * (m % 5)
+            ch = 1 + m % 2
+            n = 40 + 2 * (m % 10)  # even → square wave mean is exactly 0
+            base = (m * 7) % 1000
+            amp = 100 + m
+            cols = [np.full(n, base, dtype=np.int64)]
+            if ch == 2:
+                sq = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                cols.append(sq)
+            payload = build_wav(np.stack(cols, axis=1), rate=rate)
+        rows.append((m, "audio", bytearray(payload)))
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = multimodal.extract_media_features(d, decode_stub=False)
+    f = F.col("features")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.element_at(f, 1).cast("long").alias("sample_rate"),
+        F.element_at(f, 2).cast("long").alias("channels"),
+        F.element_at(f, 3).cast("long").alias("n_frames"),
+        F.round(F.element_at(f, 4).cast("double"), 6).alias("mean_c0"),
+        F.round(F.element_at(f, 5).cast("double"), 6).alias("mean_c1"),
+        F.round(F.element_at(f, 8).cast("double"), 6).alias("rms_c0"),
+        F.round(F.element_at(f, 9).cast("double"), 6).alias("rms_c1"),
+    )
+
+
 def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -1377,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "png_features": q_png_features,
+        "wav_features": q_wav_features,
         "frame_sampling": q_frame_sampling,
         "ann_lsh": q_ann_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -2400,6 +2444,28 @@ SELECT media_id::BIGINT AS media_id,
   round(CASE WHEN junk THEN NULL
         WHEN ch >= 3 THEN base + 80 + (w - 1) / 2.0 + (h - 1) / 2.0
         ELSE 0.0 END, 6) AS mean_c2
+FROM p""",
+        "wav_features": """
+WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
+p AS (
+  SELECT media_id,
+         8000 + 100 * (media_id % 5) AS rate,
+         1 + media_id % 2 AS ch,
+         40 + 2 * (media_id % 10) AS n,
+         (media_id * 7) % 1000 AS base,
+         100 + media_id AS amp,
+         media_id % 10 = 0 AS junk
+  FROM m
+)
+SELECT media_id::BIGINT AS media_id,
+  CASE WHEN junk THEN NULL ELSE rate END::BIGINT AS sample_rate,
+  CASE WHEN junk THEN NULL ELSE ch END::BIGINT AS channels,
+  CASE WHEN junk THEN NULL ELSE n END::BIGINT AS n_frames,
+  round(CASE WHEN junk THEN NULL ELSE base::DOUBLE END, 6) AS mean_c0,
+  round(CASE WHEN junk THEN NULL ELSE 0.0::DOUBLE END, 6) AS mean_c1,
+  round(CASE WHEN junk THEN NULL ELSE base::DOUBLE END, 6) AS rms_c0,
+  round(CASE WHEN junk THEN NULL
+        WHEN ch = 2 THEN amp::DOUBLE ELSE 0.0::DOUBLE END, 6) AS rms_c1
 FROM p""",
         "frame_sampling": """
 WITH m AS (

@@ -56,6 +56,7 @@ HEADLINE_QUERIES = (
     "word_ppl_planted",
     "minhash_delta",   # r4: incremental dedup parity path
     "png_features",    # r4: real PNG decode through the multimodal seam
+    "wav_features",    # r4: real WAV (PCM) decode through the same seam
 )
 
 

@@ -63,29 +63,53 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def _real_decode_features(payload: bytes) -> list[float] | None:
-    """Real decode for the formats with an in-repo codec (PNG today,
-    ``sources/png.py``): [width, height, channels, mean_ch0..mean_ch3,
-    0-padded] as N_FEATURES floats. Channel means are computed in float64
-    over the decoded pixel array — for the deterministic fixtures the
-    oracle reproduces them in closed form.
+    """Real decode for the formats with an in-repo codec:
+
+    * PNG (``sources/png.py``)  → [width, height, channels,
+      mean_ch0..mean_ch3, 0-padded]
+    * WAV (``sources/wav.py``)  → [framerate, channels, n_frames,
+      mean_ch0..ch3, rms_ch0..ch3, 0-padded]
+
+    as N_FEATURES floats; statistics are computed in float64 over the
+    decoded arrays — for the deterministic fixtures the oracle reproduces
+    them in closed form.
 
     Returns None (null features, per-file degradation — same policy as
-    ``sources/files.py``) for non-PNG payloads and undecodable PNGs: one
-    corrupt image must not fail the corpus task. The n_bytes/sha256
-    columns still materialize for such rows."""
-    if not payload or not payload.startswith(_PNG_MAGIC):
+    ``sources/files.py``) for unrecognized payloads and undecodable files:
+    one corrupt media item must not fail the corpus task. The
+    n_bytes/sha256 columns still materialize for such rows."""
+    if not payload:
         return None
-    from pii_detector_spark.sources.png import PngParseError, decode_png
+    if payload.startswith(_PNG_MAGIC):
+        from pii_detector_spark.sources.png import PngParseError, decode_png
 
-    try:
-        width, height, channels, px = decode_png(payload)
-    except PngParseError:
-        return None
-    means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
-    out = [float(width), float(height), float(channels)]
-    out += [float(m) for m in means]
-    out += [0.0] * (N_FEATURES - len(out))
-    return out
+        try:
+            width, height, channels, px = decode_png(payload)
+        except PngParseError:
+            return None
+        means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
+        out = [float(width), float(height), float(channels)]
+        out += [float(m) for m in means]
+        out += [0.0] * (N_FEATURES - len(out))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from pii_detector_spark.sources.wav import WavParseError, decode_wav
+
+        try:
+            rate, channels, n_frames, samples = decode_wav(payload)
+        except WavParseError:
+            return None
+        if n_frames == 0:
+            means = rms = np.zeros(channels)
+        else:
+            means = samples.mean(axis=0, dtype=np.float64)
+            rms = np.sqrt((samples.astype(np.float64) ** 2).mean(axis=0))
+        out = [float(rate), float(channels), float(n_frames)]
+        out += [float(m) for m in means] + [0.0] * (4 - channels)
+        out += [float(r) for r in rms] + [0.0] * (4 - channels)
+        out += [0.0] * (N_FEATURES - len(out))
+        return out
+    return None
 
 
 def _fake_decode_features(payload: bytes) -> list[float]:

@@ -660,3 +660,56 @@ def test_png_through_spark_seam(spark):
     f = got[1]
     assert f[:6] == [5.0, 3.0, 3.0, 10.0, 20.0, 255.0]
     assert f[6:] == [0.0] * 10
+
+
+def test_wav_roundtrip_and_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.wav import (
+        WavParseError,
+        build_wav,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 4):
+        arr = rng.integers(-32768, 32767, size=(25, ch), dtype=np.int64)
+        rate, channels, n, samples = decode_wav(build_wav(arr, rate=16000))
+        assert (rate, channels, n) == (16000, ch, 25)
+        assert np.array_equal(samples, arr.astype(np.float64))
+    # mono 1-D input
+    arr = rng.integers(-100, 100, size=50, dtype=np.int64)
+    _, channels, n, samples = decode_wav(build_wav(arr))
+    assert channels == 1 and n == 50
+    assert np.array_equal(samples[:, 0], arr.astype(np.float64))
+    with _pytest.raises(WavParseError):
+        decode_wav(b"RIFFxxxxWAVEfmt corrupted")
+    with _pytest.raises(WavParseError):
+        decode_wav(b"not a wav at all")
+
+
+def test_wav_through_spark_seam(spark):
+    import numpy as np
+
+    from pii_detector_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from pii_detector_spark.sources.wav import build_wav
+
+    sq = np.where(np.arange(10) % 2 == 0, 500, -500)
+    dc = np.full(10, 250)
+    payload = build_wav(np.stack([dc, sq], axis=1), rate=44100)
+    rows = [(1, "audio", bytearray(payload)),
+            (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00AVI junk"))]
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    got = {
+        r["media_id"]: r["features"]
+        for r in extract_media_features(d, decode_stub=False).collect()
+    }
+    assert got[2] is None
+    f = got[1]
+    assert f[:5] == [44100.0, 2.0, 10.0, 250.0, 0.0]
+    assert f[7] == 250.0 and f[8] == 500.0
