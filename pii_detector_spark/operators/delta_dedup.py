@@ -79,23 +79,70 @@ def minhash_signatures(
 def banded_keys(
     sig: DataFrame, num_hashes: int = 12, bands: int = 4
 ) -> DataFrame:
-    """(doc_id, band_id, band_key) — band_key = md5 of the band's minhashes
-    joined with '|', identical to the full path's banding."""
+    """(doc_id, band_key) — band_key = md5('<band_id>|' || the band's
+    minhashes joined with '|').
+
+    The band id is FOLDED INTO the hash (vs the full path's separate
+    (band_id, band_key) pair): candidate semantics are identical — two
+    docs collide on band b iff their b-th minhash slices are equal — while
+    the join runs on ONE key, which lets a stored banded table be bucketed
+    by band_key so the corpus side of the delta join needs no per-run
+    shuffle (``write_bucketed_bands`` / ``minhash_pairs_delta_bucketed``).
+    """
     per = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh_{b * per + j}") for j in range(per)]
-                )
-            ).alias("band_key"),
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * per + j}") for j in range(per)],
+            )
         )
         for b in range(bands)
     ]
     return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+        "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
+    )
+
+
+def _candidates(banded_new: DataFrame, banded_all: DataFrame) -> DataFrame:
+    """Distinct canonical-ordered candidate pairs from a band equi-join."""
+    return (
+        banded_new.alias("a")
+        .join(
+            banded_all.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame, all_sigs: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification over the stored shingle hashes."""
+    sh_a = all_sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("shingle_hashes").alias("sh_a")
+    )
+    sh_b = all_sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("shingle_hashes").alias("sh_b")
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("intersect_n", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "union_n", F.size("sh_a") + F.size("sh_b") - F.col("intersect_n")
+        )
+        .withColumn("jaccard", F.col("intersect_n") / F.col("union_n"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_pairs_delta(
@@ -114,34 +161,53 @@ def minhash_pairs_delta(
     pair set (a new x new pair surfaces in both orders and dedupes)."""
     banded_all = banded_keys(all_sigs, num_hashes, bands)
     banded_new = banded_keys(new_sigs, num_hashes, bands)
-    cand = (
-        banded_new.alias("a")
-        .join(
-            banded_all.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _candidates(banded_new, banded_all)
+    return _verify_pairs(cand, all_sigs, jaccard_threshold)
+
+
+def write_bucketed_bands(
+    spark,
+    all_sigs: DataFrame,
+    table: str = "neardup_bands",
+    buckets: int = 64,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Persist the banded-key relation as a band_key-BUCKETED table — the
+    100-TB shape of the delta join's corpus side.
+
+    The plain delta join shuffles corpus x bands (doc_id, band_key) rows
+    every run; with the stored side bucketed (and sorted) by band_key,
+    Spark's bucketing rule satisfies the join's required distribution
+    directly from the table layout, so ONLY the delta side shuffles —
+    plan-pinned by ``test_bucketed_delta_join_shuffles_only_delta_side``.
+    On Iceberg the same layout is a `bucket(N, band_key)` partition
+    transform + storage-partitioned join.
+
+    Maintenance contract: append each run's new banded keys with the same
+    bucket spec (`insertInto`); Spark appends per-bucket files without
+    re-shuffling old data.
+    """
+    banded_keys(all_sigs, num_hashes, bands).write.bucketBy(
+        buckets, "band_key"
+    ).sortBy("band_key").mode("overwrite").format("parquet").saveAsTable(
+        table
     )
-    sh_a = all_sigs.select(
-        F.col("doc_id").alias("id_a"), F.col("shingle_hashes").alias("sh_a")
-    )
-    sh_b = all_sigs.select(
-        F.col("doc_id").alias("id_b"), F.col("shingle_hashes").alias("sh_b")
-    )
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("intersect_n", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "union_n", F.size("sh_a") + F.size("sh_b") - F.col("intersect_n")
-        )
-        .withColumn("jaccard", F.col("intersect_n") / F.col("union_n"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+
+
+def minhash_pairs_delta_bucketed(
+    spark,
+    all_sigs: DataFrame,
+    new_sigs: DataFrame,
+    table: str = "neardup_bands",
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """``minhash_pairs_delta`` with the corpus side of the band join read
+    from the bucketed table written by ``write_bucketed_bands`` (zero
+    shuffle on that side); verification still joins the signature relation
+    for shingle hashes."""
+    banded_new = banded_keys(new_sigs, num_hashes, bands)
+    cand = _candidates(banded_new, spark.table(table))
+    return _verify_pairs(cand, all_sigs, jaccard_threshold)
