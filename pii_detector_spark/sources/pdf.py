@@ -148,6 +148,12 @@ def _content_refs(page_body: bytes) -> list[int]:
     return [ref] if ref is not None else []
 
 
+# decompression-bomb guard: a content stream inflating past this is not a
+# text document (same per-item expansion-cap policy as the archive
+# zip-bomb guard, sources/archives.py)
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+
 def _stream_bytes(obj_body: bytes) -> bytes:
     m = _STREAM_START_RE.search(obj_body)
     if not m:
@@ -155,7 +161,14 @@ def _stream_bytes(obj_body: bytes) -> bytes:
     payload = obj_body[m.end() : _payload_end(obj_body, 0, m.end())]
     head = obj_body[: m.start()]
     if b"/FlateDecode" in head:
-        return zlib.decompress(payload)
+        d = zlib.decompressobj()
+        out = d.decompress(payload, MAX_STREAM_BYTES)
+        if d.unconsumed_tail:
+            raise PdfParseError(
+                f"content stream inflates past {MAX_STREAM_BYTES} bytes "
+                f"(decompression bomb)"
+            )
+        return out
     if b"/Filter" in head:
         raise PdfParseError("only /FlateDecode (or no filter) supported")
     return payload

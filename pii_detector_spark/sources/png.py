@@ -25,6 +25,10 @@ import numpy as np
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: decompression-bomb guard — reject images whose DECODED size (known from
+#: IHDR before inflating) exceeds this (256 MB covers 8k x 8k RGBA)
+MAX_PIXEL_BYTES = 256 * 1024 * 1024
+
 
 class PngParseError(ValueError):
     """Unsupported or malformed PNG (palette, interlace, bad CRC, …)."""
@@ -123,8 +127,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise PngParseError("zero-dimension image")
     channels = _CHANNELS[color]
     bpp = channels * depth // 8
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (1 + width * bpp):
+    expected = height * (1 + width * bpp)
+    if expected > MAX_PIXEL_BYTES:
+        # decompression-bomb guard: dimensions are known BEFORE inflating,
+        # so a crafted 1-GB-pixel IDAT never allocates
+        raise PngParseError(
+            f"decoded image would be {expected} bytes (> {MAX_PIXEL_BYTES})"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise PngParseError("IDAT inflates past the declared dimensions")
+    raw += d.flush()
+    if len(raw) != expected:
         raise PngParseError("IDAT size does not match dimensions")
     flat = _unfilter(raw, width, height, bpp)
     if depth == 16:

@@ -713,3 +713,61 @@ def test_wav_through_spark_seam(spark):
     f = got[1]
     assert f[:5] == [44100.0, 2.0, 10.0, 250.0, 0.0]
     assert f[7] == 250.0 and f[8] == 500.0
+
+
+def test_decompression_bomb_guards():
+    """PDF content streams and PNG IDAT are capped (same per-item
+    expansion policy as the archive zip-bomb guard): a crafted bomb
+    raises before allocating, and normal documents are unaffected."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.pdf import (
+        PdfParseError,
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+    from pii_detector_spark.sources.png import (
+        PngParseError,
+        build_png,
+        decode_png,
+    )
+
+    # normal paths unaffected
+    arr = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(decode_png(build_png(arr))[3], arr)
+    assert extract_pdf_text(build_simple_pdf(["ok"])) == "ok"
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 6, 0, 0, 0)
+    png_bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(b"\0" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(PngParseError, match="decoded image would be"):
+        decode_png(png_bomb)
+
+    payload = _zlib.compress(b"\0" * (70 * 1024 * 1024), 1)
+    pdf_bomb = (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + payload
+        + b"\nendstream endobj\n"
+        b"2 0 obj << /Type /Catalog /Pages 3 0 R >> endobj\n"
+        b"3 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n"
+        b"4 0 obj << /Type /Page /Contents 1 0 R >> endobj\n"
+        b"trailer << /Root 2 0 R >>"
+    )
+    with _pytest.raises(PdfParseError, match="decompression bomb"):
+        extract_pdf_text(pdf_bomb)
