@@ -230,6 +230,79 @@ def dynamo_fetch_spec(
     )
 
 
+# --- Mongo/DocumentDB range-cursor pager ------------------------------------
+
+RETRYABLE_CURSOR_CODES = frozenset(
+    {"CursorNotFound", "NetworkTimeout", "NotPrimaryNoSecondaryOk",
+     "HostUnreachable"}
+)
+
+
+def _cursor_is_retryable(exc: Exception) -> bool:
+    return getattr(exc, "code", None) in RETRYABLE_CURSOR_CODES
+
+
+def range_cursor_items(
+    find_fn: Callable[..., "list[dict]"],
+    id_filter: dict,
+    batch_size: int = 1000,
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+    backoff_base_s: float = 0.05,
+    sleep: Callable[[float], None] | None = None,
+    is_retryable: Callable[[Exception], bool] = _cursor_is_retryable,
+) -> list[dict]:
+    """Walk ONE ``_id``-range with skip-free resume-after-last-id batches
+    (the mongo-spark connector's strategy; replaces the reference's
+    quadratic ``skip(offset).limit(limit)`` cursor,
+    ``app/services/documentdb.py:219-252``):
+
+    * each batch is ``find_fn({'_id': bounds}, sort=('_id', 1),
+      limit=batch_size)``; after a batch the lower bound narrows to
+      ``{'$gt': last_id}`` — a re-issued query never re-reads or skips;
+    * a dropped cursor / transient error (``RETRYABLE_CURSOR_CODES``)
+      re-issues the SAME narrowed query with exponential backoff up to
+      ``max_attempts`` attempts per batch — no duplicates, because resume
+      is by id bound, not offset;
+    * the walk ends when a batch comes back shorter than ``batch_size``.
+    """
+    import time
+
+    do_sleep = time.sleep if sleep is None else sleep
+    items: list[dict] = []
+    bounds = dict(id_filter)
+    while True:
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                batch = find_fn(
+                    {"_id": dict(bounds)}, sort=("_id", 1), limit=batch_size
+                )
+                break
+            except Exception as exc:  # noqa: BLE001 — classified below
+                if attempt >= max_attempts or not is_retryable(exc):
+                    raise
+                do_sleep(backoff_base_s * (2 ** (attempt - 1)))
+        items.extend(batch)
+        if len(batch) < batch_size:
+            return items
+        bounds.pop("$gte", None)
+        bounds["$gt"] = batch[-1]["_id"]
+
+
+def mongo_fetch_spec(
+    find_fn: Callable[..., "list[dict]"],
+    batch_size: int = 1000,
+    max_attempts: int = DEFAULT_MAX_ATTEMPTS,
+) -> "FetchSpec":
+    """Adapt a pymongo-shaped ``find`` callable into the ``FetchSpec``
+    seam: each executor task walks its range's batch chain via
+    ``range_cursor_items`` (spec = one ``range_filters()`` entry)."""
+    return lambda spec: range_cursor_items(
+        find_fn, spec["_id"], batch_size=batch_size, max_attempts=max_attempts
+    )
+
+
 # fetch_spec(spec_json: dict) -> list[dict] rows for that segment/range
 FetchSpec = Callable[[dict], "list[dict]"]
 

@@ -278,3 +278,138 @@ class TestDynamoPagerConformance:
         assert sorted(r["pk"] for r in rows) == sorted(
             f"k{i}" for i in range(40)
         )
+
+
+# --- Mongo range-cursor conformance (reference documentdb.py:219-252 uses
+# quadratic skip/limit; this pins the skip-free resume-after-last-id walk) --
+
+
+class _CursorLost(Exception):
+    code = "CursorNotFound"
+
+
+class FakeMongo:
+    """In-memory collection honoring $gte/$gt/$lt _id bounds, ascending
+    sort, and limit; ``fail_script[n] = k`` fails the n-th find call's
+    first k attempts with CursorNotFound."""
+
+    def __init__(self, ids, fail_script=None):
+        self.docs = {i: {"_id": i, "payload": i * 2} for i in ids}
+        self.fail_script = dict(fail_script or {})
+        self.calls = 0
+        self.issued_bounds = []
+
+    def find(self, filt, sort, limit):
+        assert sort == ("_id", 1)
+        self.calls += 1
+        n = self.calls
+        fails = self.fail_script.get(n, 0)
+        if fails > 0:
+            self.fail_script[n] = fails - 1
+            self.calls -= 1  # a failed attempt retries the same logical call
+            raise _CursorLost("cursor timed out")
+        b = filt["_id"]
+        self.issued_bounds.append(dict(b))
+        sel = sorted(
+            i for i in self.docs
+            if ("$gte" not in b or i >= b["$gte"])
+            and ("$gt" not in b or i > b["$gt"])
+            and ("$lt" not in b or i < b["$lt"])
+        )
+        return [self.docs[i] for i in sel[:limit]]
+
+
+class TestMongoCursorConformance:
+    def test_exactly_once_across_ranges(self):
+        from pii_detector_spark.sources.nosql import (
+            plan_mongo_ranges,
+            range_cursor_items,
+        )
+
+        fake = FakeMongo(range(100, 160))
+        plan = plan_mongo_ranges("db", "c", 60, 100, 159, docs_per_range=25)
+        got = []
+        for f in plan.range_filters():
+            got += range_cursor_items(
+                fake.find, f["_id"], batch_size=7, sleep=lambda s: None
+            )
+        assert sorted(d["_id"] for d in got) == list(range(100, 160))
+        assert len(got) == 60
+
+    def test_resume_narrows_bound_never_reskips(self):
+        from pii_detector_spark.sources.nosql import range_cursor_items
+
+        fake = FakeMongo(range(10))
+        got = range_cursor_items(
+            fake.find, {"$gte": 0}, batch_size=4, sleep=lambda s: None
+        )
+        assert [d["_id"] for d in got] == list(range(10))
+        # bounds walked strictly forward: $gte 0, then $gt 3, $gt 7
+        assert fake.issued_bounds == [
+            {"$gte": 0}, {"$gt": 3}, {"$gt": 7},
+        ]
+
+    def test_dropped_cursor_retries_same_bound(self):
+        from pii_detector_spark.sources.nosql import range_cursor_items
+
+        fake = FakeMongo(range(10), fail_script={2: 2})
+        sleeps = []
+        got = range_cursor_items(
+            fake.find, {"$gte": 0}, batch_size=4, sleep=sleeps.append
+        )
+        assert [d["_id"] for d in got] == list(range(10))
+        assert sleeps == [0.05, 0.1]
+        # the re-issued call used the same narrowed bound (no dup, no skip)
+        assert fake.issued_bounds.count({"$gt": 3}) == 1
+
+    def test_retry_budget_and_nonretryable(self):
+        import pytest as _pytest
+
+        from pii_detector_spark.sources.nosql import range_cursor_items
+
+        fake = FakeMongo(range(10), fail_script={1: 99})
+        with _pytest.raises(_CursorLost):
+            range_cursor_items(
+                fake.find, {"$gte": 0}, batch_size=4,
+                max_attempts=3, sleep=lambda s: None,
+            )
+
+        class Boom(Exception):
+            code = "QueryPlanKilled"  # not in the retryable set
+
+        def bad_find(filt, sort, limit):
+            raise Boom()
+
+        with _pytest.raises(Boom):
+            range_cursor_items(
+                bad_find, {"$gte": 0}, sleep=lambda s: None
+            )
+
+    def test_distributed_fetch_through_cursor(self, spark):
+        from pii_detector_spark.sources.nosql import (
+            mongo_fetch_spec,
+            plan_mongo_ranges,
+            read_parallel_specs,
+        )
+
+        docs = {i: {"_id": i, "payload": i * 2} for i in range(40)}
+
+        def find(filt, sort, limit):
+            b = filt["_id"]
+            sel = sorted(
+                i for i in docs
+                if ("$gte" not in b or i >= b["$gte"])
+                and ("$gt" not in b or i > b["$gt"])
+                and ("$lt" not in b or i < b["$lt"])
+            )
+            return [docs[i] for i in sel[:limit]]
+
+        plan = plan_mongo_ranges("db", "c", 40, 0, 39, docs_per_range=10)
+        df = read_parallel_specs(
+            spark,
+            plan.range_filters(),
+            mongo_fetch_spec(find, batch_size=3),
+            "_id long, payload long",
+        )
+        rows = df.collect()
+        assert sorted(r["_id"] for r in rows) == list(range(40))
