@@ -65,9 +65,10 @@ def test_multimodal_features(spark):
     assert all(len(r["frame_payload"]) == 1024 for r in frames)
 
 
-def test_multimodal_stub_gate(spark):
-    import pytest as _pytest
-
+def test_multimodal_real_decode_degrades_unknown_formats(spark):
+    """decode_stub=False no longer raises (r4: PNG/WAV decode for real);
+    formats without an in-repo codec degrade to null features per file
+    while n_bytes/sha256 still materialize."""
     from pii_detector_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         extract_media_features,
@@ -76,8 +77,10 @@ def test_multimodal_stub_gate(spark):
     df = spark.createDataFrame(
         [(1, "image", b"xx", "image/fake", 1, 1, None)], schema=MEDIA_SCHEMA
     )
-    with _pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_media_features(df, decode_stub=False).collect()
+    rows = extract_media_features(df, decode_stub=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["features"] is None
+    assert rows[0]["n_bytes"] == 2 and rows[0]["sha256"]
 
 
 def test_windowed_event_metrics(spark):
