@@ -59,6 +59,7 @@ def incremental_pipeline(
     config: EngineConfig = DEFAULT_CONFIG,
     run_prefix: str = "stream",
     max_files_per_trigger: int = 8,
+    dedup_delta: bool = False,
 ) -> None:
     """The FULL quality-filter + scrub pipeline as a Structured Streaming
     job: every microbatch runs the fused UDF and writes all four sinks
@@ -91,13 +92,24 @@ def incremental_pipeline(
     docs = transform_web_pages(stream, config)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        idempotent_batch_write(
+        run_id = f"{run_prefix}-{batch_id}"
+        wrote = idempotent_batch_write(
             spark,
             batch_df,
             output_dir,
-            f"{run_prefix}-{batch_id}",
+            run_id,
             config.pattern_version,
         )
+        if wrote and dedup_delta:
+            # streaming delta dedup: each microbatch shingles ONLY its own
+            # docs and band-joins the persisted signature table — the same
+            # incremental path as the batch --dedup-delta flag, so
+            # streaming and batch produce identical neardup/docs_deduped
+            from pii_detector_spark.plans.pipeline import (
+                incremental_near_dedup,
+            )
+
+            incremental_near_dedup(spark, output_dir, run_id)
 
     q = (
         docs.writeStream.foreachBatch(sink)
@@ -108,6 +120,15 @@ def incremental_pipeline(
         .start()
     )
     q.awaitTermination()
+    if dedup_delta and os.path.isdir(os.path.join(output_dir, "docs")):
+        # closing refresh: a crash between a batch's commit marker and its
+        # dedup pass leaves derived tables one batch stale (the replay
+        # skips the committed batch entirely) — an empty-delta pass here
+        # rebuilds neardup/docs_deduped from the accumulated pairs, so the
+        # job always exits with derived tables consistent with docs
+        from pii_detector_spark.plans.pipeline import incremental_near_dedup
+
+        incremental_near_dedup(spark, output_dir, f"{run_prefix}-refresh")
 
 
 def idempotent_batch_write(

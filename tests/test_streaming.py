@@ -226,3 +226,87 @@ def test_foreachbatch_sink_is_idempotent_on_replay(spark, corpus_path, tmp_path)
     # a NEW batch id still writes
     assert idempotent_batch_write(spark, batch, out, "s1-1", 1) is True
     assert spark.read.parquet(os.path.join(out, "docs")).count() == 2 * n1
+
+
+def test_streaming_delta_dedup_matches_batch_full(spark, tmp_path):
+    """Streaming with dedup_delta=True: each microbatch shingles only its
+    own docs; final neardup/docs_deduped equal a one-shot batch
+    dedup_near=True run over the same corpus."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pii_detector_spark.plans.pipeline import run_pipeline
+    from pii_detector_spark.streaming.incremental import incremental_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    uniq = (
+        "completely different content about distributed query engines "
+        "processing petabytes of web text with vectorized operators "
+    ) * 4
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def table(urls, texts):
+        n = len(urls)
+        return pa.table(
+            {"url": urls, "warc_ts": [None] * n, "html": [None] * n,
+             "text": texts, "lang": [None] * n},
+            schema=schema,
+        )
+
+    # cluster members deliberately split ACROSS files so cross-batch pairs
+    # must come from the persisted signature table
+    u1 = [f"https://sa{i}.example.com/x" for i in range(3)]
+    t1 = [base, uniq, base + " tail one two three"]
+    u2 = ["https://sb0.example.com/y", "https://sb1.example.com/y"]
+    t2 = [base + " another member", uniq + " small tail delta"]
+
+    src = tmp_path / "sd_in"
+    src.mkdir()
+    out = str(tmp_path / "sd_out")
+    pq_.write_table(table(u1, t1), str(src / "f1.parquet"))
+    incremental_pipeline(spark, str(src), out, run_prefix="d1",
+                         dedup_delta=True)
+    pq_.write_table(table(u2, t2), str(src / "f2.parquet"))
+    incremental_pipeline(spark, str(src), out, run_prefix="d2",
+                         dedup_delta=True)
+
+    # batch reference: full recompute over everything at once
+    full_src = tmp_path / "sd_full"
+    full_src.mkdir()
+    pq_.write_table(table(u1 + u2, t1 + t2), str(full_src / "all.parquet"))
+    bout = str(tmp_path / "sd_bout")
+    run_pipeline(spark, str(full_src), bout, run_id="bf",
+                 extract_html=False, dedup_near=True)
+
+    def snap(d):
+        nd = {
+            r["url"]: (r["component"], r["is_canonical"])
+            for r in spark.read.parquet(os.path.join(d, "neardup")).collect()
+        }
+        kept = {
+            r["url"]
+            for r in spark.read.parquet(
+                os.path.join(d, "docs_deduped")
+            ).collect()
+        }
+        return nd, kept
+
+    nd_s, kept_s = snap(out)
+    nd_b, kept_b = snap(bout)
+    assert nd_s == nd_b
+    assert kept_s == kept_b
+    # the cross-file pair was actually found (sb0 joined sa0's cluster)
+    assert nd_s["https://sb0.example.com/y"][0] == nd_s[u1[0]][0]
