@@ -245,10 +245,14 @@ def incremental_near_dedup(
     num_hashes: int = 12,
     bands: int = 4,
 ) -> None:
-    """Delta-mode keep-one near-dedup: shingle/minhash ONLY this run's docs,
-    band-join them against the persisted signature table (new x all, never
-    all x all re-shingling), append the new pairs, and rebuild
-    components/canonical from the accumulated (metadata-sized) pair set.
+    """Delta-mode keep-one near-dedup: shingle/minhash ONLY the not-yet-
+    signed docs (anti-join against the persisted signature table — this
+    run's docs plus any backlog from runs that predate the flag or from a
+    crashed partial append), band-join them against the stored signatures
+    (new x all, never all x all re-shingling), append the new pairs, and
+    rebuild components/canonical from the accumulated (metadata-sized)
+    pair set. The url-keyed anti-join is the same cost class as the
+    resume anti-join the pipeline already pays.
 
     Tables under ``output_dir``:
 
@@ -278,7 +282,14 @@ def incremental_near_dedup(
     pairs_path = os.path.join(output_dir, "neardup_pairs")
 
     written = spark.read.parquet(docs_path)
-    new_docs = written.filter(F.col("run_id") == run_id)
+    # unsigned docs = this run's, plus any backlog (flag enabled mid-life,
+    # or a crash between the sink marker and a prior dedup pass)
+    new_docs = written
+    if os.path.isdir(sig_path):
+        signed = spark.read.parquet(sig_path).select(
+            F.col("doc_id").alias("url")
+        )
+        new_docs = written.join(signed, "url", "left_anti")
     sig_delta = delta_dedup.minhash_signatures(
         new_docs,
         id_col="url",

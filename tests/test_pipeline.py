@@ -548,3 +548,64 @@ def test_crash_at_every_sink_heals_to_identical_tables(
         # nothing from the crashed run survived
         docs = spark.read.parquet(_os.path.join(out, "docs"))
         assert docs.filter(docs.run_id == "c1").count() == 0
+
+
+def test_dedup_delta_backfills_presignature_runs(spark, tmp_path_factory):
+    """Enabling --dedup-delta on an output whose earlier runs never
+    shingled: the unsigned backlog is signed on the next delta run, so
+    cross-run pairs with pre-flag docs are found."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def tbl(urls, texts):
+        n = len(urls)
+        return pa.table(
+            {"url": urls, "warc_ts": [None] * n, "html": [None] * n,
+             "text": texts, "lang": [None] * n},
+            schema=schema,
+        )
+
+    d1 = tmp_path_factory.mktemp("bf1")
+    pq_.write_table(tbl(["https://bf0.example.com/a"], [base]),
+                    str(d1 / "a.parquet"))
+    d2 = tmp_path_factory.mktemp("bf2")
+    pq_.write_table(
+        tbl(["https://bf0.example.com/a", "https://bf1.example.com/b"],
+            [base, base + " near tail"]),
+        str(d2 / "b.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("bf_out"))
+
+    # run 1 WITHOUT any dedup — doc bf0 is never shingled
+    run_pipeline(spark, str(d1), out, run_id="r1", extract_html=False)
+    assert not _os.path.isdir(_os.path.join(out, "signatures"))
+
+    # run 2 with the flag: bf1 is new; bf0 is unsigned backlog
+    run_pipeline(spark, str(d2), out, run_id="r2", extract_html=False,
+                 dedup_delta=True)
+    sigs = spark.read.parquet(_os.path.join(out, "signatures"))
+    assert sigs.count() == 2  # backlog + delta, all signed under r2
+    nd = {
+        r["url"]: (r["component"], r["is_canonical"])
+        for r in spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    # the cross-run near-dup pair was found
+    assert nd["https://bf0.example.com/a"][0] == nd["https://bf1.example.com/b"][0]
+    assert nd["https://bf0.example.com/a"][1] is True
+    assert nd["https://bf1.example.com/b"][1] is False
