@@ -100,7 +100,10 @@ def banded_keys(
         )
         for b in range(bands)
     ]
-    return sig.select(
+    # tombstone rows (empty shingle set, null minhashes — see
+    # plans/pipeline.incremental_near_dedup) must never band: their null
+    # mh columns would all hash to the same key and self-join O(n²)
+    return sig.filter(F.size("shingle_hashes") > 0).select(
         "doc_id", F.explode(F.array(*band_keys)).alias("band_key")
     )
 
@@ -166,7 +169,6 @@ def minhash_pairs_delta(
 
 
 def write_bucketed_bands(
-    spark,
     all_sigs: DataFrame,
     table: str = "neardup_bands",
     buckets: int = 64,

@@ -19,6 +19,7 @@ sizing) is real and tested:
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Iterator
 
 import numpy as np
@@ -81,11 +82,17 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
     if not payload:
         return None
     if payload.startswith(_PNG_MAGIC):
-        from pii_detector_spark.sources.png import PngParseError, decode_png
+        from pii_detector_spark.sources.png import decode_png
 
         try:
             width, height, channels, px = decode_png(payload)
-        except PngParseError:
+        except Exception as exc:  # noqa: BLE001 — per-file degradation:
+            # besides PngParseError, a truncated file can surface
+            # struct.error / zlib.error from inside the chunk walk
+            logging.getLogger(__name__).warning(
+                "PNG decode failed (%s: %s); null features",
+                type(exc).__name__, exc,
+            )
             return None
         means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
         out = [float(width), float(height), float(channels)]
@@ -93,20 +100,29 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
         out += [0.0] * (N_FEATURES - len(out))
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        from pii_detector_spark.sources.wav import WavParseError, decode_wav
+        from pii_detector_spark.sources.wav import decode_wav
 
         try:
             rate, channels, n_frames, samples = decode_wav(payload)
-        except WavParseError:
+        except Exception as exc:  # noqa: BLE001 — same per-file policy
+            logging.getLogger(__name__).warning(
+                "WAV decode failed (%s: %s); null features",
+                type(exc).__name__, exc,
+            )
             return None
+        # feature layout carries up to 4 channel slots; surround audio
+        # reports stats for its first four channels
+        k = min(channels, 4)
         if n_frames == 0:
-            means = rms = np.zeros(channels)
+            means = rms = np.zeros(k)
         else:
-            means = samples.mean(axis=0, dtype=np.float64)
-            rms = np.sqrt((samples.astype(np.float64) ** 2).mean(axis=0))
+            means = samples[:, :k].mean(axis=0, dtype=np.float64)
+            rms = np.sqrt(
+                (samples[:, :k].astype(np.float64) ** 2).mean(axis=0)
+            )
         out = [float(rate), float(channels), float(n_frames)]
-        out += [float(m) for m in means] + [0.0] * (4 - channels)
-        out += [float(r) for r in rms] + [0.0] * (4 - channels)
+        out += [float(m) for m in means] + [0.0] * (4 - k)
+        out += [float(r) for r in rms] + [0.0] * (4 - k)
         out += [0.0] * (N_FEATURES - len(out))
         return out
     return None

@@ -138,6 +138,17 @@ def gc_deleted_urls(
                 os.rename(old, path)  # prior crash mid-swap: recover
         if not os.path.exists(path):
             continue
+        has_data = any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        if not has_data:
+            # all-empty-appends partitioned table: nothing to GC and no
+            # file to infer a schema from (corrupt tables still raise —
+            # they have data files that fail to read)
+            continue
         df = spark.read.parquet(path)
         before = df.count()
         kept = df.join(dele, "url", "left_anti")
@@ -149,7 +160,9 @@ def gc_deleted_urls(
             # partition discovery
             writer = writer.partitionBy("run_id")
         writer.parquet(tmp)
-        after = spark.read.parquet(tmp).count()
+        # explicit schema: a fully-GC'd partitioned table writes no data
+        # files, and an empty dir can't be schema-inferred
+        after = spark.read.schema(df.schema).parquet(tmp).count()
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

@@ -149,7 +149,24 @@ def heal_uncommitted_runs(
         path = os.path.join(output_dir, t)
         if not os.path.isdir(path):
             continue
-        for d in os.listdir(path):
+        entries = os.listdir(path)
+        flat = [
+            e
+            for e in entries
+            if not e.startswith(("_", "."))
+            and not e.startswith("run_id=")
+            and os.path.isfile(os.path.join(path, e))
+        ]
+        if flat:
+            # a pre-r4 flat-layout table: appending run_id= dirs beside
+            # root data files would break partition discovery — refuse
+            # with a migration recipe instead of corrupting the table
+            raise RuntimeError(
+                f"table '{t}' at {path} has flat-layout data files "
+                f"({flat[:3]}…); migrate once before resuming: read it, "
+                f"write.partitionBy('run_id') to a sibling dir, swap"
+            )
+        for d in entries:
             if not d.startswith("run_id="):
                 continue
             rid = unquote(d.split("=", 1)[1])
@@ -235,6 +252,42 @@ def write_run_outputs(
     return sum(r["docs_scanned"] for r in metrics_rows)
 
 
+def _sig_ddl(num_hashes: int) -> str:
+    mh = ", ".join(f"mh_{i} STRING" for i in range(num_hashes))
+    return (
+        f"doc_id STRING, {mh}, shingle_hashes ARRAY<BIGINT>, "
+        "content_md5 STRING, run_id STRING"
+    )
+
+
+_PAIRS_DDL = (
+    "id_a STRING, id_b STRING, jaccard DOUBLE, md5_a STRING, md5_b STRING, "
+    "run_id STRING"
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(ddl).parquet(path)
+    return spark.createDataFrame([], ddl)
+
+
+def _dedup_marker(output_dir: str, run_id: str) -> str:
+    return _marker_path(output_dir, run_id) + ".dedup"
+
+
+def _partition_run_ids(path: str) -> set[str]:
+    from urllib.parse import unquote
+
+    if not os.path.isdir(path):
+        return set()
+    return {
+        unquote(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("run_id=")
+    }
+
+
 def incremental_near_dedup(
     spark: SparkSession,
     output_dir: str,
@@ -244,32 +297,52 @@ def incremental_near_dedup(
     threshold: float = 0.7,
     num_hashes: int = 12,
     bands: int = 4,
+    max_iter: int = 50,
 ) -> None:
-    """Delta-mode keep-one near-dedup: shingle/minhash ONLY the not-yet-
-    signed docs (anti-join against the persisted signature table — this
-    run's docs plus any backlog from runs that predate the flag or from a
-    crashed partial append), band-join them against the stored signatures
-    (new x all, never all x all re-shingling), append the new pairs, and
-    rebuild components/canonical from the accumulated (metadata-sized)
-    pair set. The url-keyed anti-join is the same cost class as the
-    resume anti-join the pipeline already pays.
+    """Delta-mode keep-one near-dedup: shingle/minhash ONLY the docs with
+    no CONTENT-VALID signature (anti-join against the signature table
+    keyed on (url, content_md5) — this run's docs, pre-flag backlog, and
+    any doc whose content changed since it was signed), band-join them
+    against the stored signatures (new x all, never all x all
+    re-shingling), append the new pairs, and rebuild components/canonical
+    from the accumulated (metadata-sized) pair set. The url-keyed
+    anti-join is the same cost class as the resume anti-join the pipeline
+    already pays.
 
     Tables under ``output_dir``:
 
-    * ``signatures``   — append-only (doc_id=url, shingle_hashes, mh_*,
-                         run_id); each run appends exactly its delta.
-    * ``neardup_pairs`` — append-only (id_a, id_b, jaccard, run_id); the
-                         accumulated set equals full recompute exactly
-                         (old x old pairs came from the runs that
-                         introduced them).
+    * ``signatures``   — append-only (doc_id=url, mh_*, shingle_hashes,
+                         content_md5, run_id). Zero-shingle docs (dropped
+                         or too short) get TOMBSTONE rows (empty hash set)
+                         so the unsigned backlog stays O(delta) instead of
+                         re-shingling them every run. Rows whose
+                         content_md5 no longer matches the docs table are
+                         ignored on read (staleness by construction).
+    * ``neardup_pairs`` — append-only (id_a, id_b, jaccard, md5_a, md5_b,
+                         run_id); on read, pairs with a stale endpoint are
+                         filtered out, and re-signed docs contribute fresh
+                         new x all pairs — so the live pair set equals full
+                         recompute exactly.
     * ``neardup`` / ``docs_deduped`` — rewritten from the pair set, same
                          schema/semantics as the full ``dedup_near`` path.
 
-    Crash-replay safe: reruns of the same run_id re-append, and both reads
-    dedupe on key. Parity with ``mark_near_duplicate_docs`` (full
-    recompute) is pinned by the pipeline pytest and the ``minhash_delta``
-    oracle; the only divergence channel is an xxhash64 shingle collision
-    (~2^-64 per shingle pair).
+    Crash safety: reruns re-append and every read dedupes on key; a
+    ``_commits/<run_id>.dedup`` marker lands only after the pairs append
+    and derived rewrites, so a crash between the signature append and the
+    pairs append is healed — the next run treats every unmarked signature
+    run as still-pending and recomputes its pairs (identical rows, deduped
+    on read).
+
+    Parity with ``mark_near_duplicate_docs`` (full recompute) is pinned by
+    the pipeline pytest and the ``minhash_delta`` oracle; the only
+    divergence channel is an xxhash64 shingle collision (~2^-64 per
+    shingle pair).
+
+    Assumes the docs table carries ONE content per url — the resume
+    contract guarantees it within a pattern version; after a pattern bump,
+    GC the historical rows (or use a fresh output dir) before deduping,
+    exactly as with ``dedup_near`` (both modes read the raw docs table, so
+    they stay equal either way).
 
     Reference analogue: F8 incremental chunk recompute,
     ``app/services/base_scan_service.py:643-731``.
@@ -280,45 +353,95 @@ def incremental_near_dedup(
     docs_path = os.path.join(output_dir, "docs")
     sig_path = os.path.join(output_dir, "signatures")
     pairs_path = os.path.join(output_dir, "neardup_pairs")
+    sig_ddl = _sig_ddl(num_hashes)
 
     written = spark.read.parquet(docs_path)
-    # unsigned docs = this run's, plus any backlog (flag enabled mid-life,
-    # or a crash between the sink marker and a prior dedup pass)
-    new_docs = written
-    if os.path.isdir(sig_path):
-        signed = spark.read.parquet(sig_path).select(
-            F.col("doc_id").alias("url")
-        )
-        new_docs = written.join(signed, "url", "left_anti")
-    sig_delta = delta_dedup.minhash_signatures(
+    cur = written.select("url", "content_md5").dropDuplicates()
+    cur_keyed = cur.select(F.col("url").alias("doc_id"), "content_md5")
+
+    def valid_sigs(df: DataFrame) -> DataFrame:
+        # a signature is live iff the docs table still carries that exact
+        # (url, content) — changed/rescanned docs fall back into the
+        # unsigned backlog and stale rows become invisible
+        return df.join(
+            cur_keyed, ["doc_id", "content_md5"], "left_semi"
+        ).dropDuplicates(["doc_id"])
+
+    signed = valid_sigs(_read_or_empty(spark, sig_path, sig_ddl))
+    new_docs = written.join(
+        signed.select(F.col("doc_id").alias("url")), "url", "left_anti"
+    )
+    sig_real = delta_dedup.minhash_signatures(
         new_docs,
         id_col="url",
         text_col=text_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
-    ).withColumn("run_id", F.lit(run_id))
-    sig_delta.write.mode("append").partitionBy("run_id").parquet(sig_path)
-
-    # explicit schemas: a run with zero scrubbed docs appends nothing, and
-    # a partitioned dir of empty appends has no files to infer from
-    all_sigs = (
-        spark.read.schema(sig_delta.schema)
-        .parquet(sig_path)
+    ).join(cur_keyed, "doc_id")
+    # tombstones for zero-shingle docs: signed-with-empty-set, never banded
+    tomb = (
+        new_docs.join(
+            sig_real.select(F.col("doc_id").alias("url")), "url", "left_anti"
+        )
+        .select(
+            F.col("url").alias("doc_id"),
+            *[
+                F.lit(None).cast("string").alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ],
+            F.array().cast("array<long>").alias("shingle_hashes"),
+            "content_md5",
+        )
         .dropDuplicates(["doc_id"])
     )
-    new_sigs = all_sigs.filter(F.col("run_id") == run_id)
-    pairs_delta = delta_dedup.minhash_pairs_delta(
-        all_sigs, new_sigs, num_hashes, bands, threshold
-    ).withColumn("run_id", F.lit(run_id))
+    sig_real.unionByName(tomb).withColumn(
+        "run_id", F.lit(run_id)
+    ).write.mode("append").partitionBy("run_id").parquet(sig_path)
+
+    # pending = this run + any signature run whose pairs never committed
+    # (crash between the signature append and the .dedup marker)
+    pending = {run_id} | {
+        rid
+        for rid in _partition_run_ids(sig_path)
+        if not os.path.exists(_dedup_marker(output_dir, rid))
+    }
+    all_sigs = valid_sigs(spark.read.schema(sig_ddl).parquet(sig_path))
+    new_sigs = all_sigs.filter(F.col("run_id").isin(sorted(pending)))
+    pairs_delta = (
+        delta_dedup.minhash_pairs_delta(
+            all_sigs, new_sigs, num_hashes, bands, threshold
+        )
+        .join(
+            cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
+            "id_a",
+        )
+        .join(
+            cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
+            "id_b",
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
     pairs_delta.write.mode("append").partitionBy("run_id").parquet(pairs_path)
 
+    # live pairs: both endpoints' content must still be current
     all_pairs = (
-        spark.read.schema(pairs_delta.schema)
+        spark.read.schema(_PAIRS_DDL)
         .parquet(pairs_path)
+        .join(
+            cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
+            ["id_a", "md5_a"],
+            "left_semi",
+        )
+        .join(
+            cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
+            ["id_b", "md5_b"],
+            "left_semi",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     marked = canonicalize(
-        written, all_pairs, id_col="url", id_a="id_a", id_b="id_b"
+        written, all_pairs, id_col="url", id_a="id_a", id_b="id_b",
+        max_iter=max_iter,
     )
     neardup_path = os.path.join(output_dir, "neardup")
     marked.select("url", "component", "is_canonical").write.mode(
@@ -332,6 +455,12 @@ def incremental_near_dedup(
     written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
         os.path.join(output_dir, "docs_deduped")
     )
+    for rid in pending:
+        tmp = _dedup_marker(output_dir, rid) + ".tmp"
+        os.makedirs(_commits_dir(output_dir), exist_ok=True)
+        with open(tmp, "w") as fh:
+            fh.write(rid)
+        os.replace(tmp, _dedup_marker(output_dir, rid))
 
 
 @dataclass
@@ -354,6 +483,7 @@ def run_pipeline(
     gc_deleted: bool = False,
     dedup_near: bool = False,
     dedup_delta: bool = False,
+    dedup_max_iter: int = 50,
 ) -> PipelineResult:
     """Batch scan job with checkpoint-resume; rerunning after a partial or
     complete prior run processes only not-yet-SCANNED urls (idempotent).
@@ -404,7 +534,9 @@ def run_pipeline(
             checkpoint.gc_deleted_urls(spark, output_dir, deleted)
 
     if dedup_delta:
-        incremental_near_dedup(spark, output_dir, run_id)
+        incremental_near_dedup(
+            spark, output_dir, run_id, max_iter=dedup_max_iter
+        )
     elif dedup_near:
         from pii_detector_spark.operators.clusters import (
             mark_near_duplicate_docs,
@@ -412,7 +544,8 @@ def run_pipeline(
 
         written = spark.read.parquet(os.path.join(output_dir, "docs"))
         marked = mark_near_duplicate_docs(
-            written, url_col="url", text_col="scrubbed_text"
+            written, url_col="url", text_col="scrubbed_text",
+            max_iter=dedup_max_iter,
         )
         neardup_path = os.path.join(output_dir, "neardup")
         marked.select("url", "component", "is_canonical").write.mode(

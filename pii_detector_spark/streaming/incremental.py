@@ -84,6 +84,14 @@ def incremental_pipeline(
     crash point leaves readable, consistent tables (the parquet stand-in
     for Iceberg's atomic multi-table commit).
     """
+    from pii_detector_spark.plans.pipeline import heal_uncommitted_runs
+
+    # heal ONCE at stream start — the only moment an unmarked partial can
+    # exist is right after a crash, and per-batch healing would rescan all
+    # tables' partition listings on every microbatch (O(batches²) metadata
+    # ops over the stream's life)
+    heal_uncommitted_runs(spark, output_dir)
+
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -143,16 +151,15 @@ def idempotent_batch_write(
     in ``write_run_outputs``, so its presence implies a complete batch).
     Returns True when the batch was written, False on a replay skip."""
     from pii_detector_spark.plans.pipeline import (
-        heal_uncommitted_runs,
         run_committed,
         write_run_outputs,
     )
 
     if run_committed(output_dir, run_id):
         return False  # replayed microbatch: outputs already committed
-    # a replay without a marker means the first attempt crashed mid-write:
-    # drop its partial partitions before writing again
-    heal_uncommitted_runs(spark, output_dir)
+    # partial partitions from a crashed first attempt were removed by the
+    # heal pass at stream start (incremental_pipeline) — a mid-stream
+    # batch can't have partials of its own run_id before its first write
     write_run_outputs(spark, batch_df, output_dir, run_id, pattern_version)
     return True
 

@@ -147,7 +147,7 @@ def test_bucketed_delta_join_shuffles_only_delta_side(spark):
     new = sigs.filter(F.col("doc_id") % 10 == 0)
 
     spark.sql("DROP TABLE IF EXISTS t_bands")
-    write_bucketed_bands(spark, sigs, table="t_bands", buckets=4)
+    write_bucketed_bands(sigs, table="t_bands", buckets=4)
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         plain = minhash_pairs_delta(sigs, new).collect()

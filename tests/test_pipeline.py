@@ -436,11 +436,21 @@ def test_dedup_delta_parity_and_delta_only_work(spark, tmp_path_factory):
     # from batch1 was re-shingled; run 1 signed its scrubbed (non-dropped)
     # docs only
     assert sigs.filter(sigs.run_id == "d2").count() == len(urls2)
+    # every d1 doc is signed — dropped/short docs as TOMBSTONES (empty
+    # hash set) so they never re-enter the unsigned backlog
+    assert sigs.filter(sigs.run_id == "d1").count() == len(urls1)
     docs_tbl = spark.read.parquet(_os.path.join(out_delta, "docs"))
     n_d1_scrubbed = docs_tbl.filter(
         (docs_tbl.run_id == "d1") & docs_tbl.scrubbed_text.isNotNull()
     ).count()
-    assert sigs.filter(sigs.run_id == "d1").count() == n_d1_scrubbed
+    from pyspark.sql import functions as F_
+
+    assert (
+        sigs.filter(
+            (sigs.run_id == "d1") & (F_.size("shingle_hashes") > 0)
+        ).count()
+        == n_d1_scrubbed
+    )
 
     def snap(out):
         nd = {
@@ -609,3 +619,138 @@ def test_dedup_delta_backfills_presignature_runs(spark, tmp_path_factory):
     assert nd["https://bf0.example.com/a"][0] == nd["https://bf1.example.com/b"][0]
     assert nd["https://bf0.example.com/a"][1] is True
     assert nd["https://bf1.example.com/b"][1] is False
+
+
+def _delta_tbl(urls, texts):
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    n = len(urls)
+    return pa.table(
+        {"url": urls, "warc_ts": [None] * n, "html": [None] * n,
+         "text": texts, "lang": [None] * n},
+        schema=schema,
+    )
+
+
+_DELTA_BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep dark forest before the sun finally sets "
+) * 4
+_DELTA_UNIQ = (
+    "completely different content about distributed query engines "
+    "processing petabytes of web text with vectorized operators "
+) * 4
+
+
+def test_dedup_delta_resigns_changed_content(spark, tmp_path_factory):
+    """A url GC'd and later re-scanned with DIFFERENT content must be
+    re-signed (its old signature's content_md5 no longer matches) and its
+    stale pairs dropped — the (url, content_md5) validity keying."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    u_stay = "https://cc0.example.com/stay"
+    u_chg = "https://cc1.example.com/chg"
+    d1 = tmp_path_factory.mktemp("cc1")
+    pq_.write_table(
+        _delta_tbl([u_stay, u_chg], [_DELTA_BASE, _DELTA_BASE + " near tail"]),
+        str(d1 / "a.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("cc_out"))
+    run_pipeline(spark, str(d1), out, run_id="c1", extract_html=False,
+                 dedup_delta=True)
+    nd1 = {
+        r["url"]: r for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    assert nd1[u_chg]["component"] == nd1[u_stay]["component"]  # paired
+
+    # source drops u_chg → GC removes it; then it reappears with content
+    # that is NOT a near-dup any more
+    d2 = tmp_path_factory.mktemp("cc2")
+    pq_.write_table(_delta_tbl([u_stay], [_DELTA_BASE]), str(d2 / "b.parquet"))
+    run_pipeline(spark, str(d2), out, run_id="c2", extract_html=False,
+                 gc_deleted=True, dedup_delta=True)
+
+    d3 = tmp_path_factory.mktemp("cc3")
+    pq_.write_table(
+        _delta_tbl([u_stay, u_chg], [_DELTA_BASE, _DELTA_UNIQ]),
+        str(d3 / "c.parquet"),
+    )
+    run_pipeline(spark, str(d3), out, run_id="c3", extract_html=False,
+                 dedup_delta=True)
+    nd3 = {
+        r["url"]: r for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    # changed content: no longer clustered with u_stay, own component
+    assert nd3[u_chg]["component"] != nd3[u_stay]["component"]
+    assert nd3[u_chg]["is_canonical"] is True
+    kept = {
+        r["url"] for r in spark.read.parquet(
+            _os.path.join(out, "docs_deduped")
+        ).collect()
+    }
+    assert {u_stay, u_chg} <= kept
+
+
+def test_dedup_delta_recovers_pairs_after_crash_between_appends(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Crash AFTER the signature append but BEFORE the pairs append: the
+    docs are signed-but-unpaired; the next delta run must treat the
+    unmarked signature run as pending and recompute its pairs."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    import pii_detector_spark.operators.delta_dedup as dd
+    import pii_detector_spark.plans.pipeline as pipemod
+
+    d1 = tmp_path_factory.mktemp("pc1")
+    pq_.write_table(
+        _delta_tbl(
+            ["https://pc0.example.com/a", "https://pc1.example.com/b",
+             "https://pc2.example.com/c"],
+            [_DELTA_BASE, _DELTA_BASE + " near tail", _DELTA_UNIQ],
+        ),
+        str(d1 / "a.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("pc_out"))
+
+    real_pairs = dd.minhash_pairs_delta
+
+    def boom(*a, **k):
+        raise RuntimeError("injected pairs crash")
+
+    with monkeypatch.context() as mp:
+        mp.setattr(dd, "minhash_pairs_delta", boom)
+        with pytest.raises(RuntimeError, match="injected pairs crash"):
+            run_pipeline(spark, str(d1), out, run_id="p1",
+                         extract_html=False, dedup_delta=True)
+    # signatures landed, pairs did not, no dedup marker
+    assert spark.read.parquet(_os.path.join(out, "signatures")).count() == 3
+    assert not _os.path.isdir(_os.path.join(out, "neardup_pairs"))
+    assert not _os.path.exists(pipemod._dedup_marker(out, "p1"))
+
+    # next run (no new docs) recovers p1's pending pairs
+    run_pipeline(spark, str(d1), out, run_id="p2", extract_html=False,
+                 dedup_delta=True)
+    assert _os.path.exists(pipemod._dedup_marker(out, "p1"))
+    nd = {
+        r["url"]: r for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    assert (nd["https://pc0.example.com/a"]["component"]
+            == nd["https://pc1.example.com/b"]["component"])
+    assert dd.minhash_pairs_delta is real_pairs  # patch released
