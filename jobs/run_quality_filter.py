@@ -39,6 +39,10 @@ def main() -> None:
                     help="after the run, keep-one near-dup pass over the "
                          "docs table -> additive neardup + docs_deduped "
                          "tables")
+    ap.add_argument("--dedup-max-iter", type=int, default=50,
+                    help="connected-components round budget for dedup "
+                         "(needs >= longest near-dup chain + 1; the loop "
+                         "raises rather than return split clusters)")
     ap.add_argument("--dedup-delta", action="store_true",
                     help="incremental near-dup: shingle/minhash only THIS "
                          "run's docs and band-join against the persisted "
@@ -66,6 +70,7 @@ def main() -> None:
         gc_deleted=args.gc_deleted,
         dedup_near=args.dedup_near,
         dedup_delta=args.dedup_delta,
+        dedup_max_iter=args.dedup_max_iter,
     )
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "
