@@ -1282,6 +1282,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF: centroids trained on the OLD 90% of vectors only
+    and round-tripped through the (cell, pos, value) persistence rows;
+    the new 10% are delta-ASSIGNED under the frozen centroids (no
+    re-clustering — `similarity.ivf_assign`); queries probe all cells so
+    the result is provably the exact top-k over old ∪ new, making the
+    brute-force SQL a full oracle for the whole incremental path."""
+    e = _emb(spark, sf_dir)
+    old = e.filter(F.col("vec_id") % 10 != 0)
+    new = e.filter(F.col("vec_id") % 10 == 0)
+    cent = similarity.ivf_train_centroids(old, dim=64, n_cells=8, iters=1)
+    # persistence round trip: what the pipeline would write/read
+    rows = spark.createDataFrame(
+        similarity.centroids_to_rows(cent),
+        "cell int, pos int, value double",
+    ).collect()
+    cent2 = similarity.rows_to_centroids(rows, n_cells=8, dim=64)
+
+    def slim(df):
+        return df.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").alias("vec"),
+        )
+
+    assigned = similarity.ivf_assign(slim(old), cent2).unionByName(
+        similarity.ivf_assign(slim(new), cent2)
+    )
+    out = similarity.ivf_query(
+        assigned, e.filter(F.col("vec_id") < 8), cent2, n_probe=8, k=3
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.embedding_neardup_pairs(
         _emb(spark, sf_dir), dim=64, threshold=0.4, n_planes=6
@@ -1417,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest / least-driver-verified first ---
         "minhash_delta": q_minhash_delta,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_delta": q_ann_ivf_delta,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "png_features": q_png_features,
@@ -2415,6 +2454,7 @@ FROM documents""",
         "ann_lsh": _ann_lsh_sql(64, 3, 6, 8, 8),
         # exhaustive-probe IVF == exact top-k → brute-force SQL is the oracle
         "ann_ivf": _ann_bruteforce_sql(3, 8),
+        "ann_ivf_delta": _ann_bruteforce_sql(3, 8),
         "embedding_neardup": _neardup_sql(64, 0.4, 6),
         "media_features": """
 SELECT doc_id::BIGINT AS media_id, 'image' AS kind,

@@ -270,10 +270,30 @@ def ivf_topk(
     batch (a JVM expression form would be ``n_cells × dim`` interpreted
     higher-order ops per row — the known non-codegen trap).
     """
-    import hashlib as _hl
+    centroids = ivf_train_centroids(
+        corpus, dim, n_cells, iters, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    assigned = ivf_assign(c, centroids)
+    return ivf_query(assigned, queries, centroids, n_probe, k,
+                     id_col=id_col, vec_col=vec_col)
 
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Deterministic k-means centroids (see ``ivf_topk``); the (tiny)
+    centroid matrix is the persistable index artifact — serialize it with
+    ``centroids_to_rows``/``rows_to_centroids`` for the delta path."""
     import numpy as np
-    import pandas as pd
 
     c = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -286,21 +306,6 @@ def ivf_topk(
         .collect()
     )
     centroids = np.array([list(r["vec"]) for r in seeds], dtype=np.float64)
-
-    def _assign_udf(cent: np.ndarray):
-        b = F.pandas_udf(
-            lambda vecs: pd.Series(
-                np.argmin(
-                    (
-                        (np.stack(vecs.map(np.asarray).to_numpy())[:, None, :]
-                         - cent[None, :, :]) ** 2
-                    ).sum(axis=2),
-                    axis=1,
-                ).astype(np.int64)
-            ) if len(vecs) else pd.Series([], dtype="int64"),
-            returnType="long",
-        )
-        return b
 
     # fixed-point quantization (2^20) makes the distributed per-cell sums
     # integer and therefore associative — identical centroids on every run
@@ -318,7 +323,7 @@ def ivf_topk(
             .collect()
         )
         new_c = centroids.copy()  # empty cells keep their old centroid
-        acc: dict[int, np.ndarray] = {}
+        acc: dict[int, "np.ndarray"] = {}
         cnt: dict[int, int] = {}
         for r in sums:
             acc.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["s"]
@@ -326,8 +331,67 @@ def ivf_topk(
         for cell in acc:
             new_c[cell] = acc[cell] / (max(cnt[cell], 1) * Q)
         centroids = new_c
+    return centroids
 
-    assigned = c.withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+
+def ivf_assign(c: DataFrame, centroids: "np.ndarray") -> DataFrame:
+    """(vec_id, vec) → + cell under FROZEN centroids — the delta-mode
+    assignment: new vectors join the stored index without re-clustering
+    (centroid drift is a rebuild decision, not an append cost)."""
+    return c.withColumn("cell", _assign_udf(centroids)(F.col("vec")))
+
+
+def centroids_to_rows(centroids: "np.ndarray") -> list[tuple[int, int, float]]:
+    """(cell, pos, value) rows for persisting the centroid matrix as a
+    (tiny) parquet table."""
+    return [
+        (int(i), int(j), float(centroids[i, j]))
+        for i in range(centroids.shape[0])
+        for j in range(centroids.shape[1])
+    ]
+
+
+def rows_to_centroids(rows, n_cells: int, dim: int) -> "np.ndarray":
+    import numpy as np
+
+    cent = np.zeros((n_cells, dim), dtype=np.float64)
+    for r in rows:
+        cent[r["cell"], r["pos"]] = r["value"]
+    return cent
+
+
+def _assign_udf(cent: "np.ndarray"):
+    import numpy as np
+    import pandas as pd
+
+    return F.pandas_udf(
+        lambda vecs: pd.Series(
+            np.argmin(
+                (
+                    (np.stack(vecs.map(np.asarray).to_numpy())[:, None, :]
+                     - cent[None, :, :]) ** 2
+                ).sum(axis=2),
+                axis=1,
+            ).astype(np.int64)
+        ) if len(vecs) else pd.Series([], dtype="int64"),
+        returnType="long",
+    )
+
+
+def ivf_query(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: "np.ndarray",
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe/score stage over an (incrementally maintained) assignment
+    relation — exactly ``ivf_topk``'s tail, usable with stored
+    centroids + appended assignments."""
+    import numpy as np
+    import pandas as pd
 
     def _probe_udf(cent: np.ndarray, p: int):
         def fn(vecs):  # pd.Series -> pd.Series (pd local to ivf_topk)

@@ -135,3 +135,65 @@ def test_ivf_topk_deterministic_and_recalls(spark):
 
     per_q = Counter(r["query_id"] for r in r1)
     assert all(v == 3 for v in per_q.values())
+
+
+def test_ivf_incremental_assign_equals_full(spark):
+    """Delta path: centroids trained on old vectors + frozen-assign of the
+    delta must give the same exhaustive-probe top-k as one-shot ivf_topk
+    over everything (both exact at n_probe=n_cells); the centroid
+    persistence rows round-trip bit-exactly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pii_detector_spark.operators.similarity import (
+        centroids_to_rows,
+        ivf_assign,
+        ivf_query,
+        ivf_topk,
+        ivf_train_centroids,
+        rows_to_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(60)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = e.filter(F.col("vec_id") % 6 != 0)
+    new = e.filter(F.col("vec_id") % 6 == 0)
+    queries = e.filter(F.col("vec_id") < 5)
+
+    cent = ivf_train_centroids(old, dim=dim, n_cells=4, iters=2)
+    crows = centroids_to_rows(cent)
+    cent2 = rows_to_centroids(
+        spark.createDataFrame(
+            crows, "cell int, pos int, value double"
+        ).collect(),
+        n_cells=4,
+        dim=dim,
+    )
+    assert np.array_equal(cent, cent2)
+
+    def slim(df):
+        return df.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").alias("vec"),
+        )
+
+    assigned = ivf_assign(slim(old), cent2).unionByName(
+        ivf_assign(slim(new), cent2)
+    )
+    inc = ivf_query(assigned, queries, cent2, n_probe=4, k=3).collect()
+    full = ivf_topk(
+        e, queries, dim=dim, n_cells=4, n_probe=4, k=3, iters=2
+    ).collect()
+
+    def key(rs):
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+            for r in rs
+        )
+
+    # exhaustive probing makes both exact regardless of centroid history
+    assert key(inc) == key(full)
