@@ -293,7 +293,6 @@ def ivf_train_centroids(
     """Deterministic k-means centroids (see ``ivf_topk``); the (tiny)
     centroid matrix is the persistable index artifact — serialize it with
     ``centroids_to_rows``/``rows_to_centroids`` for the delta path."""
-    import numpy as np
 
     c = corpus.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -352,7 +351,6 @@ def centroids_to_rows(centroids: "np.ndarray") -> list[tuple[int, int, float]]:
 
 
 def rows_to_centroids(rows, n_cells: int, dim: int) -> "np.ndarray":
-    import numpy as np
 
     cent = np.zeros((n_cells, dim), dtype=np.float64)
     for r in rows:
@@ -361,8 +359,6 @@ def rows_to_centroids(rows, n_cells: int, dim: int) -> "np.ndarray":
 
 
 def _assign_udf(cent: "np.ndarray"):
-    import numpy as np
-    import pandas as pd
 
     return F.pandas_udf(
         lambda vecs: pd.Series(
@@ -390,11 +386,9 @@ def ivf_query(
     """Probe/score stage over an (incrementally maintained) assignment
     relation — exactly ``ivf_topk``'s tail, usable with stored
     centroids + appended assignments."""
-    import numpy as np
-    import pandas as pd
 
     def _probe_udf(cent: np.ndarray, p: int):
-        def fn(vecs):  # pd.Series -> pd.Series (pd local to ivf_topk)
+        def fn(vecs):  # pd.Series -> pd.Series
             if not len(vecs):
                 return pd.Series([], dtype="object")
             X = np.stack(vecs.map(np.asarray).to_numpy())

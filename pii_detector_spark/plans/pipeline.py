@@ -121,6 +121,26 @@ def run_committed(output_dir: str, run_id: str) -> bool:
 HEALED_TABLES = ("docs", "findings", "lineage", "metrics")
 
 
+def heal_single_run(output_dir: str, run_id: str) -> list[str]:
+    """Remove THIS run_id's partition dirs if its commit marker is absent
+    — the O(tables) self-heal a foreachBatch body can afford per batch
+    (vs ``heal_uncommitted_runs``' full listing, which scales with the
+    number of runs ever written). Returns the tables healed."""
+    import shutil
+    from urllib.parse import quote
+
+    if run_committed(output_dir, run_id):
+        return []
+    healed = []
+    part = f"run_id={quote(run_id, safe='')}"
+    for t in HEALED_TABLES:
+        d = os.path.join(output_dir, t, part)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            healed.append(t)
+    return healed
+
+
 def heal_uncommitted_runs(
     spark: SparkSession,
     output_dir: str,
@@ -266,26 +286,44 @@ _PAIRS_DDL = (
 )
 
 
+_PAIRED_DDL = "url STRING, content_md5 STRING"
+
+
 def _read_or_empty(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     if os.path.isdir(path):
         return spark.read.schema(ddl).parquet(path)
     return spark.createDataFrame([], ddl)
 
 
-def _dedup_marker(output_dir: str, run_id: str) -> str:
-    return _marker_path(output_dir, run_id) + ".dedup"
+def _swap_in(path: str, tmp: str) -> None:
+    """Crash-safe table replace (same aside-rename order as the GC swap:
+    every interruption point leaves old or new under a recoverable
+    name)."""
+    import shutil
+
+    old = path + "_swap_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
-def _partition_run_ids(path: str) -> set[str]:
-    from urllib.parse import unquote
+def _recover_swap(path: str) -> None:
+    """Undo a crash that happened mid-``_swap_in``."""
+    old = path + "_swap_old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            import shutil
 
-    if not os.path.isdir(path):
-        return set()
-    return {
-        unquote(d.split("=", 1)[1])
-        for d in os.listdir(path)
-        if d.startswith("run_id=")
-    }
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
 
 def incremental_near_dedup(
@@ -323,15 +361,24 @@ def incremental_near_dedup(
                          filtered out, and re-signed docs contribute fresh
                          new x all pairs — so the live pair set equals full
                          recompute exactly.
+    * ``paired_sigs``  — the PAIRING-COVERAGE snapshot: the (url,
+                         content_md5) set that was visible when pairs were
+                         last successfully rebuilt, swap-replaced (crash-
+                         safe) at the END of each run. A valid signature
+                         absent from the snapshot — newly signed, signed
+                         during a crash window, or INVISIBLE at the last
+                         rebuild (url GC'd then resurrected; content
+                         reverted to a previously-signed version) — is
+                         re-paired new x all, so coverage is exact at
+                         per-signature granularity.
     * ``neardup`` / ``docs_deduped`` — rewritten from the pair set, same
                          schema/semantics as the full ``dedup_near`` path.
 
-    Crash safety: reruns re-append and every read dedupes on key; a
-    ``_commits/<run_id>.dedup`` marker lands only after the pairs append
-    and derived rewrites, so a crash between the signature append and the
-    pairs append is healed — the next run treats every unmarked signature
-    run as still-pending and recomputes its pairs (identical rows, deduped
-    on read).
+    Crash safety: reruns re-append and every read dedupes on key; the
+    ``paired_sigs`` snapshot commits only after the pairs append and the
+    derived rewrites, so a crash anywhere in between leaves those
+    signatures uncovered and the next run recomputes their pairs
+    (identical rows, deduped on read).
 
     Parity with ``mark_near_duplicate_docs`` (full recompute) is pinned by
     the pipeline pytest and the ``minhash_delta`` oracle; the only
@@ -353,10 +400,20 @@ def incremental_near_dedup(
     docs_path = os.path.join(output_dir, "docs")
     sig_path = os.path.join(output_dir, "signatures")
     pairs_path = os.path.join(output_dir, "neardup_pairs")
+    paired_path = os.path.join(output_dir, "paired_sigs")
     sig_ddl = _sig_ddl(num_hashes)
+    _recover_swap(paired_path)
 
     written = spark.read.parquet(docs_path)
-    cur = written.select("url", "content_md5").dropDuplicates()
+    # cur feeds ~6 joins across 4 independent actions — persist once so
+    # each action doesn't re-scan the docs table for the metadata columns
+    from pyspark import StorageLevel
+
+    cur = (
+        written.select("url", "content_md5")
+        .dropDuplicates()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cur_keyed = cur.select(F.col("url").alias("doc_id"), "content_md5")
 
     def valid_sigs(df: DataFrame) -> DataFrame:
@@ -398,15 +455,18 @@ def incremental_near_dedup(
         "run_id", F.lit(run_id)
     ).write.mode("append").partitionBy("run_id").parquet(sig_path)
 
-    # pending = this run + any signature run whose pairs never committed
-    # (crash between the signature append and the .dedup marker)
-    pending = {run_id} | {
-        rid
-        for rid in _partition_run_ids(sig_path)
-        if not os.path.exists(_dedup_marker(output_dir, rid))
-    }
+    # pairing coverage at per-signature granularity: any valid signature
+    # absent from the last successful run's paired_sigs snapshot needs its
+    # new x all pairs — newly signed, signed during a crash window, or
+    # invisible at the last rebuild (GC'd-then-resurrected url, content
+    # reverted to a previously-signed version)
+    paired = _read_or_empty(spark, paired_path, _PAIRED_DDL).select(
+        F.col("url").alias("doc_id"), "content_md5"
+    )
     all_sigs = valid_sigs(spark.read.schema(sig_ddl).parquet(sig_path))
-    new_sigs = all_sigs.filter(F.col("run_id").isin(sorted(pending)))
+    new_sigs = all_sigs.join(
+        paired, ["doc_id", "content_md5"], "left_anti"
+    )
     pairs_delta = (
         delta_dedup.minhash_pairs_delta(
             all_sigs, new_sigs, num_hashes, bands, threshold
@@ -455,12 +515,14 @@ def incremental_near_dedup(
     written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
         os.path.join(output_dir, "docs_deduped")
     )
-    for rid in pending:
-        tmp = _dedup_marker(output_dir, rid) + ".tmp"
-        os.makedirs(_commits_dir(output_dir), exist_ok=True)
-        with open(tmp, "w") as fh:
-            fh.write(rid)
-        os.replace(tmp, _dedup_marker(output_dir, rid))
+    # commit pairing coverage LAST: the snapshot of every (url, content)
+    # visible in this successful rebuild, swap-replaced crash-safely
+    tmp = paired_path + "_tmp"
+    all_sigs.select(F.col("doc_id").alias("url"), "content_md5").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _swap_in(paired_path, tmp)
+    cur.unpersist()
 
 
 @dataclass

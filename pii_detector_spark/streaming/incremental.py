@@ -151,15 +151,17 @@ def idempotent_batch_write(
     in ``write_run_outputs``, so its presence implies a complete batch).
     Returns True when the batch was written, False on a replay skip."""
     from pii_detector_spark.plans.pipeline import (
+        heal_single_run,
         run_committed,
         write_run_outputs,
     )
 
     if run_committed(output_dir, run_id):
         return False  # replayed microbatch: outputs already committed
-    # partial partitions from a crashed first attempt were removed by the
-    # heal pass at stream start (incremental_pipeline) — a mid-stream
-    # batch can't have partials of its own run_id before its first write
+    # self-heal THIS run_id only (O(tables), not a full run listing): a
+    # replay without a marker means the first attempt crashed mid-write
+    # and may have left partial partitions for this batch
+    heal_single_run(output_dir, run_id)
     write_run_outputs(spark, batch_df, output_dir, run_id, pattern_version)
     return True
 

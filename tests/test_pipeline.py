@@ -738,15 +738,17 @@ def test_dedup_delta_recovers_pairs_after_crash_between_appends(
         with pytest.raises(RuntimeError, match="injected pairs crash"):
             run_pipeline(spark, str(d1), out, run_id="p1",
                          extract_html=False, dedup_delta=True)
-    # signatures landed, pairs did not, no dedup marker
+    # signatures landed; pairs and the pairing-coverage snapshot did not
     assert spark.read.parquet(_os.path.join(out, "signatures")).count() == 3
     assert not _os.path.isdir(_os.path.join(out, "neardup_pairs"))
-    assert not _os.path.exists(pipemod._dedup_marker(out, "p1"))
+    assert not _os.path.isdir(_os.path.join(out, "paired_sigs"))
 
-    # next run (no new docs) recovers p1's pending pairs
+    # next run (no new docs): the signed-but-unpaired signatures are
+    # outside the (absent) snapshot, so their pairs are recomputed
     run_pipeline(spark, str(d1), out, run_id="p2", extract_html=False,
                  dedup_delta=True)
-    assert _os.path.exists(pipemod._dedup_marker(out, "p1"))
+    paired = spark.read.parquet(_os.path.join(out, "paired_sigs"))
+    assert paired.count() == 3  # full coverage after the successful run
     nd = {
         r["url"]: r for r in
         spark.read.parquet(_os.path.join(out, "neardup")).collect()
@@ -754,3 +756,71 @@ def test_dedup_delta_recovers_pairs_after_crash_between_appends(
     assert (nd["https://pc0.example.com/a"]["component"]
             == nd["https://pc1.example.com/b"]["component"])
     assert dd.minhash_pairs_delta is real_pairs  # patch released
+    del pipemod  # module import retained for parity with other tests
+
+
+def test_dedup_delta_pairs_resurrected_url_against_absence_era_docs(
+    spark, tmp_path_factory
+):
+    """Finding-1 regression: u2 is GC'd; u3 (a near-dup of u2's content)
+    arrives while u2 is absent; u2 then reappears with its ORIGINAL
+    content. Its old signature is valid again but was invisible when u3
+    was paired — the paired_sigs coverage snapshot must flag it and
+    compute the (u2, u3) pair."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    u1 = "https://ra0.example.com/u1"
+    u2 = "https://ra1.example.com/u2"
+    u3 = "https://ra2.example.com/u3"
+
+    d1 = tmp_path_factory.mktemp("ra1")
+    pq_.write_table(
+        _delta_tbl([u1, u2], [_DELTA_UNIQ, _DELTA_BASE]), str(d1 / "a.parquet")
+    )
+    out = str(tmp_path_factory.mktemp("ra_out"))
+    run_pipeline(spark, str(d1), out, run_id="r1", extract_html=False,
+                 dedup_delta=True)
+
+    # u2 disappears at the source → GC
+    d2 = tmp_path_factory.mktemp("ra2")
+    pq_.write_table(_delta_tbl([u1], [_DELTA_UNIQ]), str(d2 / "b.parquet"))
+    run_pipeline(spark, str(d2), out, run_id="r2", extract_html=False,
+                 gc_deleted=True, dedup_delta=True)
+
+    # u3 (near-dup of u2's content) arrives while u2 is absent
+    d3 = tmp_path_factory.mktemp("ra3")
+    pq_.write_table(
+        _delta_tbl([u1, u3], [_DELTA_UNIQ, _DELTA_BASE + " near tail"]),
+        str(d3 / "c.parquet"),
+    )
+    run_pipeline(spark, str(d3), out, run_id="r3", extract_html=False,
+                 dedup_delta=True)
+
+    # u2 resurrects with its ORIGINAL content (same md5 → old signature
+    # becomes valid again without re-signing)
+    d4 = tmp_path_factory.mktemp("ra4")
+    pq_.write_table(
+        _delta_tbl(
+            [u1, u2, u3],
+            [_DELTA_UNIQ, _DELTA_BASE, _DELTA_BASE + " near tail"],
+        ),
+        str(d4 / "d.parquet"),
+    )
+    run_pipeline(spark, str(d4), out, run_id="r4", extract_html=False,
+                 dedup_delta=True)
+
+    nd = {
+        r["url"]: r for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    # the absence-era pair was computed: u2 and u3 share a component
+    assert nd[u2]["component"] == nd[u3]["component"], nd
+    assert nd[u1]["component"] != nd[u2]["component"]
+    kept = {
+        r["url"] for r in spark.read.parquet(
+            _os.path.join(out, "docs_deduped")
+        ).collect()
+    }
+    assert u1 in kept and len({u2, u3} & kept) == 1
