@@ -415,114 +415,116 @@ def incremental_near_dedup(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cur_keyed = cur.select(F.col("url").alias("doc_id"), "content_md5")
+    try:
 
-    def valid_sigs(df: DataFrame) -> DataFrame:
-        # a signature is live iff the docs table still carries that exact
-        # (url, content) — changed/rescanned docs fall back into the
-        # unsigned backlog and stale rows become invisible
-        return df.join(
-            cur_keyed, ["doc_id", "content_md5"], "left_semi"
-        ).dropDuplicates(["doc_id"])
+        def valid_sigs(df: DataFrame) -> DataFrame:
+            # a signature is live iff the docs table still carries that exact
+            # (url, content) — changed/rescanned docs fall back into the
+            # unsigned backlog and stale rows become invisible
+            return df.join(
+                cur_keyed, ["doc_id", "content_md5"], "left_semi"
+            ).dropDuplicates(["doc_id"])
 
-    signed = valid_sigs(_read_or_empty(spark, sig_path, sig_ddl))
-    new_docs = written.join(
-        signed.select(F.col("doc_id").alias("url")), "url", "left_anti"
-    )
-    sig_real = delta_dedup.minhash_signatures(
-        new_docs,
-        id_col="url",
-        text_col=text_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-    ).join(cur_keyed, "doc_id")
-    # tombstones for zero-shingle docs: signed-with-empty-set, never banded
-    tomb = (
-        new_docs.join(
-            sig_real.select(F.col("doc_id").alias("url")), "url", "left_anti"
+        signed = valid_sigs(_read_or_empty(spark, sig_path, sig_ddl))
+        new_docs = written.join(
+            signed.select(F.col("doc_id").alias("url")), "url", "left_anti"
         )
-        .select(
-            F.col("url").alias("doc_id"),
-            *[
-                F.lit(None).cast("string").alias(f"mh_{i}")
-                for i in range(num_hashes)
-            ],
-            F.array().cast("array<long>").alias("shingle_hashes"),
-            "content_md5",
+        sig_real = delta_dedup.minhash_signatures(
+            new_docs,
+            id_col="url",
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+        ).join(cur_keyed, "doc_id")
+        # tombstones for zero-shingle docs: signed-with-empty-set, never banded
+        tomb = (
+            new_docs.join(
+                sig_real.select(F.col("doc_id").alias("url")), "url", "left_anti"
+            )
+            .select(
+                F.col("url").alias("doc_id"),
+                *[
+                    F.lit(None).cast("string").alias(f"mh_{i}")
+                    for i in range(num_hashes)
+                ],
+                F.array().cast("array<long>").alias("shingle_hashes"),
+                "content_md5",
+            )
+            .dropDuplicates(["doc_id"])
         )
-        .dropDuplicates(["doc_id"])
-    )
-    sig_real.unionByName(tomb).withColumn(
-        "run_id", F.lit(run_id)
-    ).write.mode("append").partitionBy("run_id").parquet(sig_path)
+        sig_real.unionByName(tomb).withColumn(
+            "run_id", F.lit(run_id)
+        ).write.mode("append").partitionBy("run_id").parquet(sig_path)
 
-    # pairing coverage at per-signature granularity: any valid signature
-    # absent from the last successful run's paired_sigs snapshot needs its
-    # new x all pairs — newly signed, signed during a crash window, or
-    # invisible at the last rebuild (GC'd-then-resurrected url, content
-    # reverted to a previously-signed version)
-    paired = _read_or_empty(spark, paired_path, _PAIRED_DDL).select(
-        F.col("url").alias("doc_id"), "content_md5"
-    )
-    all_sigs = valid_sigs(spark.read.schema(sig_ddl).parquet(sig_path))
-    new_sigs = all_sigs.join(
-        paired, ["doc_id", "content_md5"], "left_anti"
-    )
-    pairs_delta = (
-        delta_dedup.minhash_pairs_delta(
-            all_sigs, new_sigs, num_hashes, bands, threshold
+        # pairing coverage at per-signature granularity: any valid signature
+        # absent from the last successful run's paired_sigs snapshot needs its
+        # new x all pairs — newly signed, signed during a crash window, or
+        # invisible at the last rebuild (GC'd-then-resurrected url, content
+        # reverted to a previously-signed version)
+        paired = _read_or_empty(spark, paired_path, _PAIRED_DDL).select(
+            F.col("url").alias("doc_id"), "content_md5"
         )
-        .join(
-            cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
-            "id_a",
+        all_sigs = valid_sigs(spark.read.schema(sig_ddl).parquet(sig_path))
+        new_sigs = all_sigs.join(
+            paired, ["doc_id", "content_md5"], "left_anti"
         )
-        .join(
-            cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
-            "id_b",
+        pairs_delta = (
+            delta_dedup.minhash_pairs_delta(
+                all_sigs, new_sigs, num_hashes, bands, threshold
+            )
+            .join(
+                cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
+                "id_a",
+            )
+            .join(
+                cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
+                "id_b",
+            )
+            .withColumn("run_id", F.lit(run_id))
         )
-        .withColumn("run_id", F.lit(run_id))
-    )
-    pairs_delta.write.mode("append").partitionBy("run_id").parquet(pairs_path)
+        pairs_delta.write.mode("append").partitionBy("run_id").parquet(pairs_path)
 
-    # live pairs: both endpoints' content must still be current
-    all_pairs = (
-        spark.read.schema(_PAIRS_DDL)
-        .parquet(pairs_path)
-        .join(
-            cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
-            ["id_a", "md5_a"],
-            "left_semi",
+        # live pairs: both endpoints' content must still be current
+        all_pairs = (
+            spark.read.schema(_PAIRS_DDL)
+            .parquet(pairs_path)
+            .join(
+                cur.select(F.col("url").alias("id_a"), F.col("content_md5").alias("md5_a")),
+                ["id_a", "md5_a"],
+                "left_semi",
+            )
+            .join(
+                cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
+                ["id_b", "md5_b"],
+                "left_semi",
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .join(
-            cur.select(F.col("url").alias("id_b"), F.col("content_md5").alias("md5_b")),
-            ["id_b", "md5_b"],
-            "left_semi",
+        marked = canonicalize(
+            written, all_pairs, id_col="url", id_a="id_a", id_b="id_b",
+            max_iter=max_iter,
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    marked = canonicalize(
-        written, all_pairs, id_col="url", id_a="id_a", id_b="id_b",
-        max_iter=max_iter,
-    )
-    neardup_path = os.path.join(output_dir, "neardup")
-    marked.select("url", "component", "is_canonical").write.mode(
-        "overwrite"
-    ).parquet(neardup_path)
-    canon = (
-        spark.read.parquet(neardup_path)
-        .filter(F.col("is_canonical"))
-        .select("url")
-    )
-    written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
-        os.path.join(output_dir, "docs_deduped")
-    )
-    # commit pairing coverage LAST: the snapshot of every (url, content)
-    # visible in this successful rebuild, swap-replaced crash-safely
-    tmp = paired_path + "_tmp"
-    all_sigs.select(F.col("doc_id").alias("url"), "content_md5").write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    _swap_in(paired_path, tmp)
-    cur.unpersist()
+        neardup_path = os.path.join(output_dir, "neardup")
+        marked.select("url", "component", "is_canonical").write.mode(
+            "overwrite"
+        ).parquet(neardup_path)
+        canon = (
+            spark.read.parquet(neardup_path)
+            .filter(F.col("is_canonical"))
+            .select("url")
+        )
+        written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(output_dir, "docs_deduped")
+        )
+        # commit pairing coverage LAST: the snapshot of every (url, content)
+        # visible in this successful rebuild, swap-replaced crash-safely
+        tmp = paired_path + "_tmp"
+        all_sigs.select(F.col("doc_id").alias("url"), "content_md5").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _swap_in(paired_path, tmp)
+    finally:
+        cur.unpersist()
 
 
 @dataclass
