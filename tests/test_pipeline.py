@@ -295,28 +295,18 @@ def test_dedup_near_flag_writes_keep_one_tables(spark, tmp_path_factory):
         "completely different content about distributed query engines "
         "processing petabytes of web text with vectorized operators daily "
     ) * 4
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-    rows = {
-        "url": [
-            "https://a.example.com/1",
-            "https://b.example.com/2",
-            "https://c.example.com/3",
-        ],
-        "warc_ts": [None, None, None],
-        "html": [None, None, None],
-        "text": [dup, dup, uniq],
-        "lang": [None, None, None],
-    }
     src_dir = tmp_path_factory.mktemp("neardup_src")
-    pq_.write_table(pa.table(rows, schema=schema), str(src_dir / "pages.parquet"))
+    pq_.write_table(
+        _delta_tbl(
+            [
+                "https://a.example.com/1",
+                "https://b.example.com/2",
+                "https://c.example.com/3",
+            ],
+            [dup, dup, uniq],
+        ),
+        str(src_dir / "pages.parquet"),
+    )
     out = str(tmp_path_factory.mktemp("neardup_out"))
 
     run_pipeline(
@@ -365,28 +355,6 @@ def test_dedup_delta_parity_and_delta_only_work(spark, tmp_path_factory):
         "completely different content about distributed query engines "
         "processing petabytes of web text with vectorized operators "
     )
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-
-    def rows(urls, texts):
-        n = len(urls)
-        return pa.table(
-            {
-                "url": urls,
-                "warc_ts": [None] * n,
-                "html": [None] * n,
-                "text": texts,
-                "lang": [None] * n,
-            },
-            schema=schema,
-        )
 
     # batch1: 2 near-dup clusters + uniques; batch2 adds a member to
     # cluster A and a brand-new unique — so run 2 must find new x old pairs
@@ -406,10 +374,11 @@ def test_dedup_delta_parity_and_delta_only_work(spark, tmp_path_factory):
     texts2 = [base + "another near member", fresh]
 
     d = tmp_path_factory.mktemp("delta_src")
-    pq_.write_table(rows(urls1, texts1), str(d / "b1.parquet"))
+    pq_.write_table(_delta_tbl(urls1, texts1), str(d / "b1.parquet"))
     full_dir = tmp_path_factory.mktemp("delta_full_src")
     pq_.write_table(
-        rows(urls1 + urls2, texts1 + texts2), str(full_dir / "all.parquet")
+        _delta_tbl(urls1 + urls2, texts1 + texts2),
+        str(full_dir / "all.parquet"),
     )
 
     # reference: one-shot full recompute over everything
@@ -573,31 +542,16 @@ def test_dedup_delta_backfills_presignature_runs(spark, tmp_path_factory):
         "the quick brown fox jumps over the lazy dog and then runs far "
         "away into the deep dark forest before the sun finally sets "
     ) * 4
-    schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("warc_ts", pa.timestamp("us")),
-            ("html", pa.binary()),
-            ("text", pa.string()),
-            ("lang", pa.string()),
-        ]
-    )
-
-    def tbl(urls, texts):
-        n = len(urls)
-        return pa.table(
-            {"url": urls, "warc_ts": [None] * n, "html": [None] * n,
-             "text": texts, "lang": [None] * n},
-            schema=schema,
-        )
 
     d1 = tmp_path_factory.mktemp("bf1")
-    pq_.write_table(tbl(["https://bf0.example.com/a"], [base]),
+    pq_.write_table(_delta_tbl(["https://bf0.example.com/a"], [base]),
                     str(d1 / "a.parquet"))
     d2 = tmp_path_factory.mktemp("bf2")
     pq_.write_table(
-        tbl(["https://bf0.example.com/a", "https://bf1.example.com/b"],
-            [base, base + " near tail"]),
+        _delta_tbl(
+            ["https://bf0.example.com/a", "https://bf1.example.com/b"],
+            [base, base + " near tail"],
+        ),
         str(d2 / "b.parquet"),
     )
     out = str(tmp_path_factory.mktemp("bf_out"))
