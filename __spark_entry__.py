@@ -751,6 +751,34 @@ def q_minhash_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming join over a planted corpus: 8 groups of
+    identical 21-word texts (doc_id %% 8), so within-group pairs sit at
+    Hamming 0 while cross-group texts differ by a token and land far
+    outside the ≤3 gate — the banding (perfect recall ≤ bands-1 by
+    pigeonhole) and the xor+popcount verify are both exercised for real,
+    and DuckDB reproduces the whole chain bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 64
+    )
+    text = F.concat(
+        F.lit(_SIMHASH_BASE + " grp"),
+        (F.col("doc_id") % 8).cast("string"),
+    )
+    out = dedup.simhash_pairs(
+        d.select("doc_id", text.alias("text")), max_hamming=3
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
@@ -1456,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_delta": q_minhash_delta,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_delta": q_ann_ivf_delta,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "png_features": q_png_features,
@@ -1702,6 +1731,48 @@ SELECT d.doc_id::BIGINT AS doc_id,
        COALESCE(c.component, d.doc_id)::BIGINT AS component,
        (d.doc_id = COALESCE(c.component, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN comp c USING (doc_id)"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    width = 60 // bands
+    mask = (1 << width) - 1
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) >> {r}) & 1 = 1"
+        " THEN 1 ELSE -1 END) AS v_{i}".format(pos=15 - (i // 4), r=i % 4, i=i)
+        for i in range(60)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(60)
+    )
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+WITH docs64 AS (
+  SELECT doc_id,
+         '{_SIMHASH_BASE} grp' || (doc_id % 8)::VARCHAR AS text
+  FROM documents WHERE doc_id < 64
+),
+w AS (
+  SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word FROM docs64
+),
+t AS (SELECT doc_id, md5(word) AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id),
+p AS (SELECT doc_id, ({packed}) AS simhash FROM v),
+banded AS (
+  SELECT p.doc_id, p.simhash, b.band_id,
+         (p.simhash >> (b.band_id * {width})) & {mask} AS band_val
+  FROM p, LATERAL (VALUES {band_vals}) b(band_id)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
 
 
 def _simhash_sql() -> str:
@@ -2123,6 +2194,7 @@ SELECT shingle_md5, count(*)::BIGINT AS doc_freq,
        min(doc_id)::BIGINT AS first_doc_id
 FROM ex GROUP BY 1 HAVING count(*) >= 2""",
         "simhash": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(3, 4),
         "token_counts": f"""
 SELECT doc_id::BIGINT AS doc_id,
   len({_WORDS_SQL})::BIGINT AS ws_tokens,

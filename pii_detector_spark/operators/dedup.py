@@ -403,6 +403,67 @@ def remove_boilerplate_lines(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding: the 60-bit hash splits
+    into ``bands`` equal bit-slices; docs sharing ANY slice become
+    candidates — by pigeonhole this has PERFECT recall for Hamming
+    distance ≤ bands-1 (3 differing bits can touch at most 3 of 4
+    bands) — then the exact Hamming distance verifies.
+
+    Scale shape: after ``simhash64``'s one digest shuffle, the band join
+    carries (doc_id, 8-byte hash, 2-byte slice) rows; candidates verify
+    with ONE xor+popcount JVM expression — no text, no arrays, no Python.
+    The 15-bit slice keys are uniform (hash bits), so no skew.
+    """
+    if not 1 <= max_hamming < bands:
+        raise ValueError("banding guarantees recall only for "
+                         "max_hamming <= bands - 1")
+    width = 60 // bands
+    mask = (1 << width) - 1
+    sh = simhash64(df, id_col, text_col)
+    slices = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned("simhash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*slices)).alias("band")
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

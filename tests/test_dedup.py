@@ -163,3 +163,56 @@ def test_remove_boilerplate_lines(spark):
     assert out[3] == "only boilerplate here"
     assert out[4] == "standalone document with its own text"
     assert out[5] == ""
+
+
+def test_simhash_pairs_banding_and_hamming_verify(spark):
+    """Banded Hamming join: identical texts pair at hamming 0; a searched
+    one-word variant with a KNOWN small hamming (computed by a pure-Python
+    simhash replica) is found via the pigeonhole banding; far texts are
+    excluded; max_hamming >= bands raises."""
+    import hashlib as _hl
+
+    import pytest as _pytest
+
+    from pii_detector_spark.operators.dedup import simhash_pairs
+
+    base_words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    ).split()
+
+    def py_simhash(words):
+        votes = [0] * 60
+        for w in set(words):
+            h = int(_hl.md5(w.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(60) if votes[i] > 0)
+
+    ref = py_simhash(base_words + ["anchor"])
+    near_word, near_h = None, None
+    for cand in (f"w{i}" for i in range(3000)):
+        h = bin(ref ^ py_simhash(base_words + [cand])).count("1")
+        if 1 <= h <= 3:
+            near_word, near_h = cand, h
+            break
+    assert near_word is not None, "no close variant found in search space"
+
+    far_text = "totally disjoint vocabulary set one two three four five six"
+    rows = [
+        (1, " ".join(base_words + ["anchor"])),
+        (2, " ".join(base_words + ["anchor"])),   # identical → hamming 0
+        (3, " ".join(base_words + [near_word])),  # known small hamming
+        (4, far_text),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == near_h and got[(2, 3)] == near_h
+    assert not any(4 in k for k in got)
+
+    with _pytest.raises(ValueError, match="bands - 1"):
+        simhash_pairs(df, max_hamming=4, bands=4)
