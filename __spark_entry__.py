@@ -758,12 +758,12 @@ _SIMHASH_BASE = (
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded Hamming join over a planted corpus: 8 groups of
-    identical 21-word texts (doc_id %% 8), so within-group pairs sit at
-    Hamming 0 while cross-group texts differ by a token and land far
-    outside the ≤3 gate — the banding (perfect recall ≤ bands-1 by
-    pigeonhole) and the xor+popcount verify are both exercised for real,
-    and DuckDB reproduces the whole chain bit-for-bit."""
+    """Manku-style block-permuted SimHash banding over a planted corpus:
+    8 groups of identical 21-word texts (doc_id %% 8), so within-group
+    pairs sit at Hamming 0 while cross-group texts differ by a token and
+    land far outside the ≤3 gate. The oracle is BRUTE-FORCE Hamming over
+    the same 120-bit fingerprint, so the banding's pigeonhole recall
+    claim (no pair ≤ max_hamming ever lost) is what's being verified."""
     d = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 64
     )
@@ -1733,19 +1733,30 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
 
-def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
-    width = 60 // bands
-    mask = (1 << width) - 1
-    votes = ",\n    ".join(
-        "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) >> {r}) & 1 = 1"
-        " THEN 1 ELSE -1 END) AS v_{i}".format(pos=15 - (i // 4), r=i % 4, i=i)
-        for i in range(60)
-    )
-    packed = " + ".join(
-        f"CASE WHEN v_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
-        for i in range(60)
-    )
-    band_vals = ", ".join(f"({b})" for b in range(bands))
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Oracle = BRUTE-FORCE Hamming over the 120-bit fingerprint (two
+    60-bit words, full md5 per token). Deliberately banding-free: the
+    engine's Manku-style block-permuted banding claims perfect recall for
+    Hamming <= max_hamming by pigeonhole, so comparing against every-pair
+    ground truth pins both recall (no pair lost to banding) and precision
+    (the verify admits nothing extra)."""
+    # value bit i of a 15-hex-char number = hex digit at string position
+    # (last_pos - i//4), bit (i%4); lo word = md5 chars 1..15, hi = 17..31
+    def _votes(last_pos: int, tag: str) -> str:
+        return ",\n    ".join(
+            "SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) >> {r}) & 1 = 1"
+            " THEN 1 ELSE -1 END) AS v{tag}_{i}".format(
+                pos=last_pos - (i // 4), r=i % 4, i=i, tag=tag
+            )
+            for i in range(60)
+        )
+
+    def _packed(tag: str) -> str:
+        return " + ".join(
+            f"CASE WHEN v{tag}_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+            for i in range(60)
+        )
+
     return f"""
 WITH docs64 AS (
   SELECT doc_id,
@@ -1756,23 +1767,16 @@ w AS (
   SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS word FROM docs64
 ),
 t AS (SELECT doc_id, md5(word) AS h FROM w),
-v AS (SELECT doc_id, {votes} FROM t GROUP BY doc_id),
-p AS (SELECT doc_id, ({packed}) AS simhash FROM v),
-banded AS (
-  SELECT p.doc_id, p.simhash, b.band_id,
-         (p.simhash >> (b.band_id * {width})) & {mask} AS band_val
-  FROM p, LATERAL (VALUES {band_vals}) b(band_id)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b
-    ON a.band_id = b.band_id AND a.band_val = b.band_val
-   AND a.doc_id < b.doc_id
-)
-SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
-       bit_count(xor(sa, sb))::BIGINT AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+v AS (SELECT doc_id, {_votes(15, 'l')},
+    {_votes(31, 'h')} FROM t GROUP BY doc_id),
+p AS (SELECT doc_id, ({_packed('h')}) AS sim_hi,
+             ({_packed('l')}) AS sim_lo FROM v)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       (bit_count(xor(a.sim_hi, b.sim_hi))
+        + bit_count(xor(a.sim_lo, b.sim_lo)))::BIGINT AS hamming
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= {max_hamming}"""
 
 
 def _simhash_sql() -> str:
@@ -2194,7 +2198,7 @@ SELECT shingle_md5, count(*)::BIGINT AS doc_freq,
        min(doc_id)::BIGINT AS first_doc_id
 FROM ex GROUP BY 1 HAVING count(*) >= 2""",
         "simhash": _simhash_sql(),
-        "simhash_pairs": _simhash_pairs_sql(3, 4),
+        "simhash_pairs": _simhash_pairs_sql(3),
         "token_counts": f"""
 SELECT doc_id::BIGINT AS doc_id,
   len({_WORDS_SQL})::BIGINT AS ws_tokens,

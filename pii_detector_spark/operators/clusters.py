@@ -46,66 +46,132 @@ def connected_components(
     """(id, component) for every id appearing in ``pairs``; component =
     min id of the connected component (any orderable id type).
 
-    ``max_iter`` bounds pathological chain graphs (a length-k path needs
-    ~k rounds); the loop exits early on convergence, which for real
-    near-dup graphs happens in a handful of rounds.
+    Large-star/small-star alternation (the public CC-in-MapReduce method,
+    Kiveris et al., PAPERS.md) instead of plain min-label propagation:
+    propagation needs ~graph-diameter rounds, and near-dup chains longer
+    than any fixed budget are routine at web scale (boilerplate series),
+    so a diameter-bound loop WILL hit its guard in production. Star
+    alternation contracts the graph toward a forest of stars rooted at
+    each component's min in O(log² n) rounds worst case (a handful in
+    practice — a 100-hop chain converges in ~7), independent of diameter.
+
+    Per round, on edge rows only (two ids, never text):
+
+    * large-star: for each u, every neighbor v > u rewires to
+      m = min(Γ(u) ∪ {u})  — one symmetric explode, one groupBy-min,
+      one join.
+    * small-star: on edges directed big→small, every smaller neighbor
+      (and u itself) rewires to m = min(Γ(u)) — one groupBy-min, one
+      join.
+    * each round's edge set is ``localCheckpoint``-ed: the round derives
+      from the previous relation more than once, so without truncation
+      the logical plan would double per round (the classic iterative-
+      DataFrame trap); checkpoint blocks are GC-cleaned with the
+      DataFrame, so nothing outlives the call.
+
+    Convergence = the directed edge set reached a fixed point (equal
+    count + empty anti-join — exact, not probabilistic). At the fixed
+    point the edges are exactly (member, component-min) stars.
     """
-    sym = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
-    verts = sym.select(F.col("src").alias("id")).distinct()
-    # self-loops make each round ONE join+agg with a SINGLE reference to
-    # the previous labels (a labels ∪ propagate form references labels
-    # twice, doubling the logical plan every round — exponential analysis
-    # cost; the classic iterative-DataFrame trap)
-    # the self-loop row carries each dst's OWN previous label through the
-    # propagation join (is_self marks it), so per-round convergence is a
-    # filter on the aggregated relation itself — no extra labels-vs-labels
-    # join per round (one action, no second shuffle)
-    adj = sym.withColumn("is_self", F.lit(False)).unionByName(
-        verts.select(
-            F.col("id").alias("src"), F.col("id").alias("dst")
-        ).withColumn("is_self", F.lit(True))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = verts.withColumn("comp", F.col("id")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sc = pairs.sparkSession.sparkContext
+    jsc = sc._jsc
+
+    def _persistent_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _drop_blocks(ids: set) -> None:
+        # a localCheckpoint's blocks are released only when the JVM-side
+        # RDD is GC'd (ContextCleaner) — non-deterministic; per-round
+        # checkpoints would pile up across a long loop, so drop the
+        # previous round's blocks explicitly by tracked id (never touch
+        # ids we did not create)
+        m = jsc.getPersistentRDDs()
+        for rid in ids:
+            ref = m.get(rid)
+            if ref is not None:
+                ref.unpersist(False)
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set]:
+        before = _persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
+
+    canon = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("a"),
+            F.least(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
+    verts, verts_ids = _ckpt(
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    edges, edge_ids = _ckpt(canon)
+    prev_cnt = edges.count()
+    converged = False
     for _round in range(max_iter):
-        new_labels = (
-            adj.join(labels.select(F.col("id").alias("src"), "comp"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(
-                F.min("comp").alias("comp"),
-                F.min(F.when(F.col("is_self"), F.col("comp"))).alias("_old"),
+        # -- large-star --------------------------------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        lmin = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        lmin = lmin.select("a", F.least("a", "mn").alias("m"))
+        ls = (
+            sym.join(lmin, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -- small-star (ls edges are already directed big→small) --------
+        smin = ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ls.join(smin, "a")
+        out = (
+            joined.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smin.select("a", F.col("m").alias("b")))
+            .distinct()
+        )
+        new_edges, new_ids = _ckpt(out)
+        cnt = new_edges.count()
+        same = False
+        if cnt == prev_cnt:
+            diff = (
+                new_edges.join(edges, ["a", "b"], "left_anti")
+                .limit(1)
+                .count()
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        changed = (
-            new_labels.filter(F.col("comp") != F.col("_old")).limit(1).count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+            same = diff == 0
+        _drop_blocks(edge_ids)
+        edges, edge_ids = new_edges, new_ids
+        prev_cnt = cnt
+        if same:
+            converged = True
             break
-    else:
-        # exited via max_iter with labels still moving: the component ids
-        # are WRONG (a >max_iter-hop chain splits silently) — refuse to
-        # return them rather than silently diverge from keep-one semantics
-        labels.unpersist()
-        adj.unpersist()
+    if not converged:
+        _drop_blocks(edge_ids)
+        _drop_blocks(verts_ids)
+        # the edge set is still contracting: labels derived now could
+        # split a component — refuse rather than silently diverge from
+        # keep-one semantics
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"(labels still changing); raise max_iter — a length-k chain "
-            f"needs ~k rounds"
+            f"(edge set still contracting); star alternation needs "
+            f"O(log² n) rounds — raise max_iter"
         )
-    # snapshot so the loop's last persist can be released: checkpoint
-    # blocks are cleaned up with the DataFrame, a bare persist is not
-    out = labels.select("id", "comp").localCheckpoint(eager=True)
-    labels.unpersist()
-    adj.unpersist()
-    return out
+    # fixed point: edges are (member, component-min); roots have no
+    # outgoing edge and label themselves via the coalesce
+    leaf = edges.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("comp"))
+    labels = (
+        verts.join(leaf, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    _drop_blocks(edge_ids)
+    _drop_blocks(verts_ids)
+    return labels
 
 
 def dedup_clusters(

@@ -403,61 +403,154 @@ def remove_boilerplate_lines(
     )
 
 
+SIMHASH_BITS = 120  # two 60-bit words (top 4 bits of each long unused)
+
+
+def simhash128(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """120-bit SimHash per document as two longs ``(sim_hi, sim_lo)``,
+    same vote aggregation as ``simhash64`` but over the FULL md5 of each
+    distinct token (two 15-hex-char halves → 60 bits each).
+
+    Docs with no words get NULL fingerprints (not hash 0): a no-word doc
+    carries zero similarity evidence, and mapping them all to one value
+    would make every empty-ish pair a Hamming-0 "near-dup" AND form one
+    quadratic banding bucket — the same trap ``delta_dedup.banded_keys``
+    guards with tombstones. Callers band only non-null rows.
+    """
+    tok = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(words_col(text_col))).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h_lo"),
+        F.conv(F.substring(F.md5("w"), 17, 15), 16, 10)
+        .cast("long")
+        .alias("h_hi"),
+    )
+
+    def _votes(src: str, tag: str) -> list:
+        return [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{tag}_{i}")
+            for i in range(60)
+        ]
+
+    grouped = tok.groupBy("doc_id").agg(
+        *_votes("h_lo", "l"), *_votes("h_hi", "h")
+    )
+
+    def _pack(tag: str):
+        packed = None
+        for i in range(60):
+            term = (
+                F.when(F.col(f"v{tag}_{i}") > 0, F.lit(2 ** i).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            packed = term if packed is None else packed + term
+        return packed
+
+    sims = grouped.select(
+        "doc_id", _pack("h").alias("sim_hi"), _pack("l").alias("sim_lo")
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return ids.join(sims, "doc_id", "left")
+
+
+def _block_combinations(blocks: int, pick: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+
+    return list(combinations(range(blocks), pick))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 4,
+    blocks: int = 6,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash banding: the 60-bit hash splits
-    into ``bands`` equal bit-slices; docs sharing ANY slice become
-    candidates — by pigeonhole this has PERFECT recall for Hamming
-    distance ≤ bands-1 (3 differing bits can touch at most 3 of 4
-    bands) — then the exact Hamming distance verifies.
+    """Near-duplicate pairs by Manku-style block-permuted SimHash banding
+    (the public near-duplicate-detection-for-web-crawling method): the
+    120-bit fingerprint splits into ``blocks`` equal bit-blocks; for every
+    combination of ``blocks - max_hamming`` blocks, the concatenation of
+    those blocks is one table's key. If two docs differ in ≤ max_hamming
+    bits, those bits touch ≤ max_hamming blocks, so at least one
+    combination has ALL its blocks identical — perfect recall by
+    pigeonhole — and the exact two-word Hamming distance then verifies.
 
-    Scale shape: after ``simhash64``'s one digest shuffle, the band join
-    carries (doc_id, 8-byte hash, 2-byte slice) rows; candidates verify
-    with ONE xor+popcount JVM expression — no text, no arrays, no Python.
-    The 15-bit slice keys are uniform (hash bits), so no skew.
+    Why not the simple bands=4 slicing of a 60-bit hash: 15-bit band keys
+    collide between UNRELATED docs at p ≈ 4/2^15, which at 10^9+ docs is
+    ~10^14 spurious candidate pairs before the verify — a candidate
+    detonation. Here each of the C(6,3)=20 tables keys on 3×20 = 60 bits,
+    so spurious candidates are ~20·n²/2^61 — ≈10^7 at n=10^12, linear
+    work in practice. The trade is a 20× (vs 4×) row explosion of
+    (8-byte id, 8-byte key) pairs — still digest-sized, never text.
+
+    No-word docs carry NULL fingerprints (``simhash128``) and are
+    excluded from banding entirely, so k empty docs produce 0 candidate
+    pairs instead of a k² Hamming-0 bucket.
     """
-    if not 1 <= max_hamming < bands:
+    if not 1 <= max_hamming < blocks:
         raise ValueError("banding guarantees recall only for "
-                         "max_hamming <= bands - 1")
-    width = 60 // bands
+                         "max_hamming <= blocks - 1")
+    if SIMHASH_BITS % blocks:
+        raise ValueError(f"blocks must divide {SIMHASH_BITS}")
+    width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
-    sh = simhash64(df, id_col, text_col)
-    slices = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.shiftrightunsigned("simhash", b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_val"),
-        )
-        for b in range(bands)
-    ]
+    half = 60 // width  # blocks per 60-bit word
+
+    def _block(j: int):
+        src, off = ("sim_lo", j) if j < half else ("sim_hi", j - half)
+        return F.shiftrightunsigned(src, off * width).bitwiseAND(F.lit(mask))
+
+    combos = _block_combinations(blocks, blocks - max_hamming)
+    # one folded 8-byte key per table: block values packed by arithmetic,
+    # then xxhash64 with the table id (fold multi-part join keys into ONE
+    # hashed long — narrow shuffle rows, uniform distribution)
+    keys = []
+    for t, combo in enumerate(combos):
+        packed = None
+        for j in combo:
+            b = _block(j)
+            packed = b if packed is None else F.shiftleft(packed, width) + b
+        keys.append(F.xxhash64(F.lit(t), packed))
+
+    sh = simhash128(df, id_col, text_col).filter(F.col("sim_lo").isNotNull())
     banded = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*slices)).alias("band")
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(F.array(*keys)).alias("band_key"),
+    )
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("b.sim_hi").alias("hi_b"),
+            F.col("b.sim_lo").alias("lo_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -89,6 +89,48 @@ def transform_web_pages(
     return with_fused_processing(df, config.quality)
 
 
+def docs_table_schema():
+    """Explicit schema of the ``docs`` output table (run_id + DOC_COLUMNS +
+    findings). Every re-read of the partitioned docs table MUST pass this:
+    a run whose appends were all empty leaves ``run_id=`` partition dirs
+    with no data files, and schema inference then fails with
+    UNABLE_TO_INFER_SCHEMA (flat empty writes used to emit a
+    schema-bearing file; partitioned ones do not)."""
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        StringType,
+        TimestampType,
+        LongType,
+        ArrayType,
+    )
+
+    from pii_detector_spark.operators.fused import (
+        FINDING_TYPE,
+        FUSED_RESULT_TYPE,
+    )
+
+    fused = {f.name: f.dataType for f in FUSED_RESULT_TYPE.fields}
+    base = {
+        "url": StringType(),
+        "warc_ts": TimestampType(),
+        "lang": StringType(),
+        "n_findings": LongType(),
+    }
+    fields = [StructField("run_id", StringType())]
+    for c in DOC_COLUMNS:
+        fields.append(StructField(c, fused.get(c) or base[c]))
+    fields.append(StructField("findings", ArrayType(FINDING_TYPE)))
+    return StructType(fields)
+
+
+def read_docs_table(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Schema-explicit read of the docs table (see ``docs_table_schema``)."""
+    return spark.read.schema(docs_table_schema()).parquet(
+        os.path.join(output_dir, "docs")
+    )
+
+
 def _commits_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_commits")
 
@@ -124,20 +166,35 @@ HEALED_TABLES = ("docs", "findings", "lineage", "metrics")
 def heal_single_run(output_dir: str, run_id: str) -> list[str]:
     """Remove THIS run_id's partition dirs if its commit marker is absent
     — the O(tables) self-heal a foreachBatch body can afford per batch
-    (vs ``heal_uncommitted_runs``' full listing, which scales with the
-    number of runs ever written). Returns the tables healed."""
+    (vs ``heal_uncommitted_runs``' marker check per run ever written).
+    Returns the tables healed.
+
+    The partition dir is located by LISTING and unquoting, not by
+    re-deriving the name: Spark's partition escaping differs from urllib
+    quote (a run_id ``run 1+x`` is written as ``run_id=run 1+x``, while
+    ``quote`` would produce ``run_id=run%201%2Bx``), so name derivation
+    silently misses partitions for run ids containing spaces/'+'/'('.
+    Unquoting the listed name inverts Spark's %XX escaping exactly (and
+    leaves unescaped chars alone), matching ``heal_uncommitted_runs``."""
     import shutil
-    from urllib.parse import quote
+    from urllib.parse import unquote
 
     if run_committed(output_dir, run_id):
         return []
     healed = []
-    part = f"run_id={quote(run_id, safe='')}"
     for t in HEALED_TABLES:
-        d = os.path.join(output_dir, t, part)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-            healed.append(t)
+        tdir = os.path.join(output_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        for e in os.listdir(tdir):
+            if not e.startswith("run_id="):
+                continue
+            if unquote(e.split("=", 1)[1]) != run_id:
+                continue
+            d = os.path.join(tdir, e)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                healed.append(t)
     return healed
 
 
@@ -401,10 +458,17 @@ def incremental_near_dedup(
     sig_path = os.path.join(output_dir, "signatures")
     pairs_path = os.path.join(output_dir, "neardup_pairs")
     paired_path = os.path.join(output_dir, "paired_sigs")
+    neardup_path = os.path.join(output_dir, "neardup")
+    deduped_path = os.path.join(output_dir, "docs_deduped")
     sig_ddl = _sig_ddl(num_hashes)
     _recover_swap(paired_path)
+    _recover_swap(neardup_path)
+    _recover_swap(deduped_path)
 
-    written = spark.read.parquet(docs_path)
+    # explicit schema: a run whose appends were all empty (e.g. every url
+    # prefiltered on a fresh output dir) leaves the partitioned docs table
+    # with no data files to infer from
+    written = read_docs_table(spark, output_dir)
     # cur feeds ~6 joins across 4 independent actions — persist once so
     # each action doesn't re-scan the docs table for the metadata columns
     from pyspark import StorageLevel
@@ -504,18 +568,25 @@ def incremental_near_dedup(
             written, all_pairs, id_col="url", id_a="id_a", id_b="id_b",
             max_iter=max_iter,
         )
-        neardup_path = os.path.join(output_dir, "neardup")
+        # crash-safe rewrites: a plain in-place overwrite deletes the old
+        # dir before writing, so a mid-rewrite crash would leave the
+        # derived tables missing/partial; write aside + _swap_in keeps
+        # every crash point readable (same discipline as paired_sigs)
+        tmp_nd = neardup_path + "_tmp"
         marked.select("url", "component", "is_canonical").write.mode(
             "overwrite"
-        ).parquet(neardup_path)
+        ).parquet(tmp_nd)
+        _swap_in(neardup_path, tmp_nd)
         canon = (
             spark.read.parquet(neardup_path)
             .filter(F.col("is_canonical"))
             .select("url")
         )
-        written.join(canon, "url", "left_semi").write.mode("overwrite").parquet(
-            os.path.join(output_dir, "docs_deduped")
-        )
+        tmp_dd = deduped_path + "_tmp"
+        written.join(canon, "url", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(tmp_dd)
+        _swap_in(deduped_path, tmp_dd)
         # commit pairing coverage LAST: the snapshot of every (url, content)
         # visible in this successful rebuild, swap-replaced crash-safely
         tmp = paired_path + "_tmp"
@@ -606,15 +677,20 @@ def run_pipeline(
             mark_near_duplicate_docs,
         )
 
-        written = spark.read.parquet(os.path.join(output_dir, "docs"))
+        neardup_path = os.path.join(output_dir, "neardup")
+        deduped_path = os.path.join(output_dir, "docs_deduped")
+        _recover_swap(neardup_path)
+        _recover_swap(deduped_path)
+        written = read_docs_table(spark, output_dir)
         marked = mark_near_duplicate_docs(
             written, url_col="url", text_col="scrubbed_text",
             max_iter=dedup_max_iter,
         )
-        neardup_path = os.path.join(output_dir, "neardup")
+        tmp_nd = neardup_path + "_tmp"
         marked.select("url", "component", "is_canonical").write.mode(
             "overwrite"
-        ).parquet(neardup_path)
+        ).parquet(tmp_nd)
+        _swap_in(neardup_path, tmp_nd)
         # derive the kept set from the just-written (narrow) table instead
         # of re-evaluating the pair/component stages a second time
         canon = (
@@ -622,9 +698,11 @@ def run_pipeline(
             .filter(F.col("is_canonical"))
             .select("url")
         )
+        tmp_dd = deduped_path + "_tmp"
         written.join(canon, "url", "left_semi").write.mode(
             "overwrite"
-        ).parquet(os.path.join(output_dir, "docs_deduped"))
+        ).parquet(tmp_dd)
+        _swap_in(deduped_path, tmp_dd)
 
     return PipelineResult(
         docs_path=os.path.join(output_dir, "docs"),

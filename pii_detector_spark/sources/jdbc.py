@@ -159,6 +159,14 @@ def jdbc_table_stats(
         return 0, 0, 0
     lo_key = "LO" if "LO" in row.__fields__ else "lo"
     hi_key = "HI" if "HI" in row.__fields__ else "hi"
+    if row[lo_key] is None or row[hi_key] is None:
+        # non-empty table whose partition column is entirely NULL:
+        # MIN/MAX come back NULL and int() would raise a bare TypeError
+        raise ValueError(
+            f"partition column {partition_column!r} of {table} is entirely "
+            f"NULL ({n} rows); pick a non-null numeric key or read the "
+            "table unpartitioned"
+        )
     return n, int(row[lo_key]), int(row[hi_key])
 
 
@@ -201,3 +209,141 @@ def read_jdbc(
     for k, v in {**plan.options, **options}.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# --- catalog enumeration (the reference's list-tables-with-sizes step) ------
+
+@dataclass(frozen=True)
+class JdbcTableInfo:
+    """One discovered table (reference shape: name + size estimate)."""
+
+    schema: str
+    table: str
+    rows: int
+
+    @property
+    def qualified(self) -> str:
+        return f'"{self.schema}"."{self.table}"'
+
+
+# per-dialect catalog relations, selected by JDBC url prefix. Every query
+# yields (schema_name, table_name) for USER base tables only — the same
+# scoping the reference applies when it walks a warehouse
+# (redshift_service.py:191-270 SVV_TABLE_INFO/pg_class filtered to user
+# schemas; snowflake_service.py:181-229 SHOW TABLES + INFORMATION_SCHEMA;
+# rds_service.py:251-343 information_schema.tables). Derby's SYS catalog
+# makes the flow live-testable in-sandbox.
+CATALOG_SQL = {
+    "jdbc:derby": (
+        "SELECT s.SCHEMANAME AS sch, t.TABLENAME AS tbl "
+        "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
+        "ON t.SCHEMAID = s.SCHEMAID WHERE t.TABLETYPE = 'T'"
+    ),
+    "jdbc:postgresql": (
+        "SELECT table_schema AS sch, table_name AS tbl "
+        "FROM information_schema.tables WHERE table_type = 'BASE TABLE' "
+        "AND table_schema NOT IN ('pg_catalog', 'information_schema')"
+    ),
+    # Redshift exposes the same information_schema surface
+    "jdbc:redshift": (
+        "SELECT table_schema AS sch, table_name AS tbl "
+        "FROM information_schema.tables WHERE table_type = 'BASE TABLE' "
+        "AND table_schema NOT IN ('pg_catalog', 'information_schema')"
+    ),
+    "jdbc:mysql": (
+        "SELECT table_schema AS sch, table_name AS tbl "
+        "FROM information_schema.tables WHERE table_type = 'BASE TABLE' "
+        "AND table_schema NOT IN "
+        "('mysql', 'sys', 'performance_schema', 'information_schema')"
+    ),
+    "jdbc:snowflake": (
+        "SELECT table_schema AS sch, table_name AS tbl "
+        "FROM information_schema.tables WHERE table_type = 'BASE TABLE' "
+        "AND table_schema <> 'INFORMATION_SCHEMA'"
+    ),
+}
+
+
+def _catalog_sql_for(url: str) -> str:
+    for prefix, sql in CATALOG_SQL.items():
+        if url.lower().startswith(prefix):
+            return sql
+    raise ValueError(
+        f"no catalog query registered for JDBC url {url!r}; "
+        f"known dialects: {sorted(CATALOG_SQL)}"
+    )
+
+
+def list_jdbc_tables(
+    spark: SparkSession,
+    url: str,
+    schema: str | None = None,
+    with_counts: bool = True,
+    **options: str,
+) -> list[JdbcTableInfo]:
+    """Enumerate every user base table (optionally one schema) with row
+    counts — the reference's first step against any warehouse: list the
+    database's tables and their sizes before planning any scan. The
+    catalog query runs server-side through the JDBC subquery pushdown
+    form; counts are one pushed-down ``COUNT(*)`` per table (the
+    reference's per-table size probe). ``with_counts=False`` skips the
+    probes for metadata-only listings."""
+    q = f"({_catalog_sql_for(url)}) cat_q"
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", q)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    names = [
+        (r["sch"] if "sch" in r.__fields__ else r["SCH"],
+         r["tbl"] if "tbl" in r.__fields__ else r["TBL"])
+        for r in reader.load().collect()
+    ]
+    if schema is not None:
+        names = [(s, t) for s, t in names if s == schema]
+    out = []
+    for s, t in sorted(names):
+        rows = -1
+        if with_counts:
+            cq = f'(SELECT COUNT(*) AS n FROM "{s}"."{t}") cnt_q'
+            cr = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", cq)
+            )
+            for k, v in options.items():
+                cr = cr.option(k, v)
+            row = cr.load().collect()[0]
+            rows = int(row["N" if "N" in row.__fields__ else "n"])
+        out.append(JdbcTableInfo(schema=s, table=t, rows=rows))
+    return out
+
+
+def scan_jdbc_catalog(
+    spark: SparkSession,
+    url: str,
+    partition_column_for: "Callable[[JdbcTableInfo], str | None]",
+    schema: str | None = None,
+    chunk_rows: int = CHUNK_ROWS_CAPACITY,
+    **options: str,
+) -> dict[str, DataFrame]:
+    """The reference's whole-warehouse walk: enumerate tables, then read
+    each through the planned partitioned path. ``partition_column_for``
+    maps a discovered table to its numeric partition key (return None to
+    read that table as a single partition — small/keyless tables)."""
+    out: dict[str, DataFrame] = {}
+    for info in list_jdbc_tables(spark, url, schema=schema, **options):
+        pcol = partition_column_for(info)
+        if pcol is None or info.rows == 0:
+            reader = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option("dbtable", info.qualified)
+            )
+            for k, v in options.items():
+                reader = reader.option(k, v)
+            out[info.table] = reader.load()
+        else:
+            out[info.table] = read_jdbc_table(
+                spark, url, info.qualified, pcol,
+                chunk_rows=chunk_rows, **options,
+            )
+    return out

@@ -95,16 +95,64 @@ def prefilter_listing(
     )
 
 
+def fetch_object_with_retry(
+    fetch: Callable[[str], bytes],
+    url: str,
+    max_attempts: int | None = None,
+    backoff_base_s: float = 0.05,
+    sleep: Callable[[float], None] | None = None,
+) -> bytes | None:
+    """ONE key's fetch under the same bounded-retry classification the
+    Dynamo pager uses (``nosql.scan_segment_items``; reference budget
+    ``app/services/aws_base_service.py:13-20`` retries={'max_attempts':
+    10}): throttle-class errors re-fetch with exponential backoff up to
+    the attempt budget; after exhaustion — or on a non-retryable error
+    (deleted key, access denied) — the KEY degrades to ``None`` with a
+    warning instead of failing the task. Without this, one transient
+    error propagates out of the pandas iterator and Spark's task retry
+    refetches the whole key batch (and four task failures kill a
+    10^12-object job over one bad key)."""
+    import logging
+    import time
+
+    from pii_detector_spark.sources.nosql import (
+        DEFAULT_MAX_ATTEMPTS,
+        _default_is_retryable,
+    )
+
+    attempts = max_attempts or DEFAULT_MAX_ATTEMPTS
+    do_sleep = time.sleep if sleep is None else sleep
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return fetch(url)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if attempt < attempts and _default_is_retryable(exc):
+                do_sleep(backoff_base_s * (2 ** (attempt - 1)))
+                continue
+            logging.getLogger(__name__).warning(
+                "fetch failed for %r after %d attempt(s) (%s: %s); "
+                "degrading to null body",
+                url, attempt, type(exc).__name__, exc,
+            )
+            return None
+
+
 def fetch_objects(
     spark: SparkSession,
     listing: DataFrame,
     fetch: Callable[[str], bytes],
     tasks: int | None = None,
+    max_attempts: int | None = None,
 ) -> DataFrame:
     """Distributed body fetch: the (pre-filtered) listing repartitions
     across executors and each task pulls its keys through the injected
     ``fetch(url) -> bytes`` seam, yielding the ``web_pages`` shape
-    (html=body; text/lang null — extraction happens in the pipeline)."""
+    (html=body; text/lang null — extraction happens in the pipeline).
+    Each KEY fetches under ``fetch_object_with_retry``; an exhausted or
+    non-retryable key yields a null body (the pipeline's F9 empty guard
+    then drops it) instead of failing the batch."""
     import pandas as pd
 
     n = tasks or max(2, spark.sparkContext.defaultParallelism)
@@ -118,7 +166,12 @@ def fetch_objects(
                     "warc_ts": pd.Series(
                         [None] * len(urls), dtype="datetime64[us]"
                     ),
-                    "html": [fetch(u) for u in urls],
+                    "html": [
+                        fetch_object_with_retry(
+                            fetch, u, max_attempts=max_attempts
+                        )
+                        for u in urls
+                    ],
                     "text": pd.Series([None] * len(urls), dtype="object"),
                     "lang": pd.Series([None] * len(urls), dtype="object"),
                 }

@@ -34,6 +34,35 @@ def test_long_path_converges(spark):
     assert comp.count() == 13
 
 
+def test_100_hop_chain_converges_in_log_rounds(spark):
+    """The r4 min-propagation guard fired on chains > max_iter hops;
+    star alternation must converge a 100-hop chain WITHOUT raising and
+    well inside the default 20-round budget (O(log n), not O(diameter))."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(100)])
+    comp = connected_components(pairs)  # default max_iter=20
+    rows = {(r["id"], r["comp"]) for r in comp.collect()}
+    assert rows == {(i, 0) for i in range(101)}
+
+
+def test_string_ids_still_supported(spark):
+    """Url-keyed pair graphs (string ids) order lexicographically; the
+    star alternation must handle them like the propagation loop did."""
+    pairs = spark.createDataFrame(
+        [("u-b", "u-c"), ("u-a", "u-b"), ("u-x", "u-y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        ("u-a", "u-a"),
+        ("u-b", "u-a"),
+        ("u-c", "u-a"),
+        ("u-x", "u-x"),
+        ("u-y", "u-x"),
+    }
+
+
 def test_dedup_clusters_sizes(spark):
     pairs = _pairs(spark, [(5, 6), (6, 7), (20, 21)])
     got = {

@@ -165,13 +165,33 @@ def test_remove_boilerplate_lines(spark):
     assert out[5] == ""
 
 
-def test_simhash_pairs_banding_and_hamming_verify(spark):
-    """Banded Hamming join: identical texts pair at hamming 0; a searched
-    one-word variant with a KNOWN small hamming (computed by a pure-Python
-    simhash replica) is found via the pigeonhole banding; far texts are
-    excluded; max_hamming >= bands raises."""
+def _py_simhash128(words):
+    """Pure-Python replica of operators.dedup.simhash128 (two 60-bit
+    words from the full md5 of each distinct token)."""
     import hashlib as _hl
 
+    vl, vh = [0] * 60, [0] * 60
+    for w in set(words):
+        hx = _hl.md5(w.encode()).hexdigest()
+        lo, hi = int(hx[0:15], 16), int(hx[16:31], 16)
+        for i in range(60):
+            vl[i] += 1 if (lo >> i) & 1 else -1
+            vh[i] += 1 if (hi >> i) & 1 else -1
+    return (
+        sum(1 << i for i in range(60) if vh[i] > 0),
+        sum(1 << i for i in range(60) if vl[i] > 0),
+    )
+
+
+def _py_hamming128(a, b):
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_simhash_pairs_banding_and_hamming_verify(spark):
+    """Manku-banded Hamming join: identical texts pair at hamming 0; a
+    searched one-word variant with a KNOWN small hamming (computed by a
+    pure-Python 120-bit replica) is found via the pigeonhole banding; far
+    texts are excluded; max_hamming >= blocks raises."""
     import pytest as _pytest
 
     from pii_detector_spark.operators.dedup import simhash_pairs
@@ -181,18 +201,10 @@ def test_simhash_pairs_banding_and_hamming_verify(spark):
         "lambda mu nu xi omicron pi rho sigma tau upsilon"
     ).split()
 
-    def py_simhash(words):
-        votes = [0] * 60
-        for w in set(words):
-            h = int(_hl.md5(w.encode()).hexdigest()[:15], 16)
-            for i in range(60):
-                votes[i] += 1 if (h >> i) & 1 else -1
-        return sum(1 << i for i in range(60) if votes[i] > 0)
-
-    ref = py_simhash(base_words + ["anchor"])
+    ref = _py_simhash128(base_words + ["anchor"])
     near_word, near_h = None, None
     for cand in (f"w{i}" for i in range(3000)):
-        h = bin(ref ^ py_simhash(base_words + [cand])).count("1")
+        h = _py_hamming128(ref, _py_simhash128(base_words + [cand]))
         if 1 <= h <= 3:
             near_word, near_h = cand, h
             break
@@ -214,5 +226,95 @@ def test_simhash_pairs_banding_and_hamming_verify(spark):
     assert got[(1, 3)] == near_h and got[(2, 3)] == near_h
     assert not any(4 in k for k in got)
 
-    with _pytest.raises(ValueError, match="bands - 1"):
-        simhash_pairs(df, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="blocks - 1"):
+        simhash_pairs(df, max_hamming=6, blocks=6)
+
+
+def test_simhash_pairs_brute_force_parity(spark):
+    """Recall AND precision vs ground truth: banded pairs == every pair
+    with 120-bit Hamming <= max_hamming, computed brute-force in Python
+    over a corpus of overlapping token sets."""
+    from pii_detector_spark.operators.dedup import simhash_pairs
+
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = []
+    for d in range(50):
+        # sliding windows of the vocabulary → a spread of pairwise
+        # distances around the <=3 gate
+        words = vocab[(d % 20):(d % 20) + 20] + [f"extra{d % 5}"]
+        rows.append((d, " ".join(words)))
+    fps = {d: _py_simhash128(t.split()) for d, t in rows}
+    want = {
+        (a, b): _py_hamming128(fps[a], fps[b])
+        for a in fps
+        for b in fps
+        if a < b and _py_hamming128(fps[a], fps[b]) <= 3
+    }
+    assert want, "planted corpus produced no near pairs — bad fixture"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == want
+
+
+def test_simhash_pairs_no_word_docs_never_band(spark):
+    """k empty/whitespace docs must produce ZERO pairs (NULL fingerprints
+    are excluded from banding) instead of a k^2 Hamming-0 bucket."""
+    from pii_detector_spark.operators.dedup import simhash128, simhash_pairs
+
+    rows = [(i, "   \t  " if i % 2 else "") for i in range(10)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_pairs(df, max_hamming=3).count() == 0
+    # and the fingerprint itself marks them NULL, not 0
+    fp = {r["doc_id"]: r["sim_lo"] for r in simhash128(df).collect()}
+    assert fp[0] is None and fp[1] is None and fp[100] is not None
+
+
+def test_simhash_pairs_candidates_subquadratic(spark):
+    """The 60-bit table keys must not detonate: n distinct docs produce
+    far fewer banded candidates than n^2/2 (with 4x15-bit banding, random
+    collisions at this n were already observable; at web scale they are
+    fatal). Candidates here = pairs sharing any of the C(6,3)=20 keys."""
+    from pii_detector_spark.operators import dedup as _dd
+
+    n = 200
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # rebuild the banding exactly as simhash_pairs does, but count
+    # candidates BEFORE the Hamming verify
+    from pyspark.sql import functions as F
+
+    width = _dd.SIMHASH_BITS // 6
+    mask = (1 << width) - 1
+    half = 60 // width
+
+    def _block(j):
+        src, off = ("sim_lo", j) if j < half else ("sim_hi", j - half)
+        return F.shiftrightunsigned(src, off * width).bitwiseAND(F.lit(mask))
+
+    keys = []
+    for t, combo in enumerate(_dd._block_combinations(6, 3)):
+        packed = None
+        for j in combo:
+            b = _block(j)
+            packed = b if packed is None else F.shiftleft(packed, width) + b
+        keys.append(F.xxhash64(F.lit(t), packed))
+    sh = _dd.simhash128(df).filter(F.col("sim_lo").isNotNull())
+    banded = sh.select("doc_id", F.explode(F.array(*keys)).alias("band_key"))
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cands < n  # vs C(200,2) = 19,900 all-pairs

@@ -93,3 +93,87 @@ class TestLiveJdbc:
         assert df.rdd.getNumPartitions() == len(preds)
         assert df.count() == 5000
         assert df.select("o_key").distinct().count() == 5000
+
+
+def test_stats_null_partition_column(spark, tmp_path_factory):
+    """ADVICE r4 (low): non-empty table whose partition column is entirely
+    NULL must raise a clear ValueError naming the column, not a bare
+    TypeError from int(None)."""
+    from pii_detector_spark.sources.jdbc import jdbc_table_stats
+
+    db = tmp_path_factory.mktemp("derby_null") / "nulldb"
+    url = f"jdbc:derby:{db};create=true"
+    df = spark.range(0, 10).selectExpr(
+        "id AS o_key", "CAST(NULL AS INT) AS all_null"
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nulls_t")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    with pytest.raises(ValueError, match="all_null"):
+        jdbc_table_stats(spark, url, "nulls_t", "all_null", driver=DRIVER)
+
+
+class TestCatalogEnumeration:
+    """VERDICT r4 #4: the reference's list-tables-with-sizes step
+    (redshift_service.py:191-270, snowflake_service.py:181-229,
+    rds_service.py:251-343), live against Derby's SYS catalog."""
+
+    @pytest.fixture(scope="class")
+    def warehouse(self, spark, tmp_path_factory):
+        db = tmp_path_factory.mktemp("derby_cat") / "catdb"
+        url = f"jdbc:derby:{db};create=true"
+        for name, n in (("T_ORDERS", 300), ("T_CUSTS", 40)):
+            df = spark.range(0, n).selectExpr("id AS k", "id * 2 AS v")
+            (
+                df.write.format("jdbc")
+                .option("url", url).option("dbtable", name)
+                .option("driver", DRIVER).mode("overwrite").save()
+            )
+        return url
+
+    def test_enumerates_user_tables_with_counts(self, spark, warehouse):
+        from pii_detector_spark.sources.jdbc import list_jdbc_tables
+
+        infos = list_jdbc_tables(spark, warehouse, driver=DRIVER)
+        by_name = {i.table: i for i in infos}
+        # only USER tables — Derby's dozens of SYS.* catalog relations
+        # must not leak into the listing
+        assert set(by_name) == {"T_ORDERS", "T_CUSTS"}
+        assert by_name["T_ORDERS"].rows == 300
+        assert by_name["T_CUSTS"].rows == 40
+        assert by_name["T_ORDERS"].schema  # Derby default: user schema
+
+    def test_counts_skippable(self, spark, warehouse):
+        from pii_detector_spark.sources.jdbc import list_jdbc_tables
+
+        infos = list_jdbc_tables(
+            spark, warehouse, with_counts=False, driver=DRIVER
+        )
+        assert {i.rows for i in infos} == {-1}
+
+    def test_unknown_dialect_raises(self, spark):
+        from pii_detector_spark.sources.jdbc import list_jdbc_tables
+
+        with pytest.raises(ValueError, match="no catalog query"):
+            list_jdbc_tables(spark, "jdbc:exoticdb:whatever")
+
+    def test_scan_whole_catalog_through_planned_path(self, spark, warehouse):
+        """Enumerate → read EVERY table via the partitioned planned path;
+        row sets come back exactly once each."""
+        from pii_detector_spark.sources.jdbc import scan_jdbc_catalog
+
+        dfs = scan_jdbc_catalog(
+            spark, warehouse,
+            partition_column_for=lambda info: "k",
+            chunk_rows=100, driver=DRIVER,
+        )
+        assert set(dfs) == {"T_ORDERS", "T_CUSTS"}
+        orders = dfs["T_ORDERS"]
+        assert orders.rdd.getNumPartitions() == 3  # ceil(300/100)
+        assert sorted(r["k"] for r in orders.collect()) == list(range(300))
+        assert sorted(r["k"] for r in dfs["T_CUSTS"].collect()) == list(range(40))

@@ -123,3 +123,137 @@ def test_distributed_fetch_to_pipeline(spark):
     docs = transform_web_pages(pages, prefilter=False).collect()
     assert len(docs) == 6
     assert all(r["n_words"] > 0 for r in docs)
+
+
+class TestFetchRetry:
+    """VERDICT r4 #5: per-key bounded retry/degradation in fetch_objects
+    (reference budget: aws_base_service retries={'max_attempts': 10})."""
+
+    class _Throttle(Exception):
+        code = "ThrottlingException"
+
+    class _Denied(Exception):
+        code = "AccessDenied"
+
+    def test_transient_error_retries_then_succeeds(self):
+        from pii_detector_spark.sources.object_store import (
+            fetch_object_with_retry,
+        )
+
+        calls = {"n": 0}
+        naps = []
+
+        def fetch(url):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise self._Throttle("slow down")
+            return b"body"
+
+        got = fetch_object_with_retry(
+            fetch, "s3://b/k", sleep=naps.append
+        )
+        assert got == b"body" and calls["n"] == 3
+        assert naps == [0.05, 0.1]  # exponential backoff
+
+    def test_exhaustion_degrades_to_null_with_warning(self, caplog):
+        import logging
+
+        from pii_detector_spark.sources.object_store import (
+            fetch_object_with_retry,
+        )
+
+        calls = {"n": 0}
+
+        def fetch(url):
+            calls["n"] += 1
+            raise self._Throttle("always throttled")
+
+        with caplog.at_level(logging.WARNING):
+            got = fetch_object_with_retry(
+                fetch, "s3://b/k", max_attempts=4, sleep=lambda s: None
+            )
+        assert got is None and calls["n"] == 4  # full reference budget
+        assert any("degrading to null body" in r.message for r in caplog.records)
+
+    def test_permanent_error_degrades_immediately(self, caplog):
+        import logging
+
+        from pii_detector_spark.sources.object_store import (
+            fetch_object_with_retry,
+        )
+
+        calls = {"n": 0}
+
+        def fetch(url):
+            calls["n"] += 1
+            raise self._Denied("no")
+
+        with caplog.at_level(logging.WARNING):
+            got = fetch_object_with_retry(fetch, "s3://b/k", sleep=lambda s: None)
+        assert got is None and calls["n"] == 1  # not retried
+
+    def test_moto_live_deleted_key_classified_permanent(self, caplog):
+        """Against the REAL boto3 client on moto: a key deleted after
+        listing raises a genuine botocore NoSuchKey ClientError, which the
+        classifier treats as permanent — one attempt, degraded to None
+        (driver-side: a live client is not picklable into Spark tasks,
+        so the executor path is covered by the fake-backed test below)."""
+        import logging
+
+        boto3 = pytest.importorskip("boto3")
+        pytest.importorskip("moto")
+        from moto import mock_aws
+
+        from pii_detector_spark.sources.object_store import (
+            fetch_object_with_retry,
+        )
+
+        with mock_aws():
+            c = boto3.client("s3", region_name="us-east-1")
+            c.create_bucket(Bucket="corpus")
+            c.put_object(Bucket="corpus", Key="a/ok.html", Body=b"<p>x</p>")
+
+            calls = {"n": 0}
+
+            def fetch(url):
+                calls["n"] += 1
+                return c.get_object(Bucket="corpus", Key=url)["Body"].read()
+
+            assert fetch_object_with_retry(fetch, "a/ok.html") == b"<p>x</p>"
+            calls["n"] = 0
+            with caplog.at_level(logging.WARNING):
+                got = fetch_object_with_retry(
+                    fetch, "a/gone.html", sleep=lambda s: None
+                )
+            assert got is None and calls["n"] == 1  # permanent, no retry
+
+    def test_distributed_fetch_degrades_bad_key_in_batch(self, spark):
+        """fetch_objects end-to-end: a batch containing a permanently
+        failing key completes; only that key's html is null."""
+        from pii_detector_spark.sources.object_store import (
+            fetch_objects,
+            listing_to_df,
+            prefilter_listing,
+        )
+
+        objs = [
+            {"Key": "a/ok1.html", "Size": 8, "ETag": '"1"'},
+            {"Key": "a/bad.html", "Size": 8, "ETag": '"2"'},
+            {"Key": "a/ok2.html", "Size": 8, "ETag": '"3"'},
+        ]
+        listing = prefilter_listing(listing_to_df(spark, objs))
+
+        def fetch(url):
+            if "bad" in url:
+                err = Exception("denied")
+                err.code = "AccessDenied"
+                raise err
+            return b"<p>x</p>"
+
+        rows = {
+            r["url"]: r["html"]
+            for r in fetch_objects(spark, listing, fetch, tasks=1).collect()
+        }
+        assert bytes(rows["a/ok1.html"]) == b"<p>x</p>"
+        assert bytes(rows["a/ok2.html"]) == b"<p>x</p>"
+        assert rows["a/bad.html"] is None

@@ -778,3 +778,126 @@ def test_dedup_delta_pairs_resurrected_url_against_absence_era_docs(
         ).collect()
     }
     assert u1 in kept and len({u2, u3} & kept) == 1
+
+
+def test_dedup_delta_on_fully_prefiltered_input(spark, tmp_path_factory):
+    """ADVICE r4 (medium): a run whose every url is prefiltered leaves the
+    partitioned docs table with run_id dirs but NO data files; the dedup
+    passes must read it with an explicit schema (UNABLE_TO_INFER_SCHEMA
+    otherwise) and complete as a no-op."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    d = tmp_path_factory.mktemp("pf_src")
+    pq_.write_table(
+        _delta_tbl(
+            ["https://x.example.com/a.png", "https://x.example.com/b.zip"],
+            ["ignored", "ignored"],
+        ),
+        str(d / "pages.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("pf_out"))
+    res = run_pipeline(
+        spark, str(d / "pages.parquet"), out, run_id="pf1",
+        extract_html=False, dedup_delta=True,
+    )
+    assert res.docs_written == 0
+    nd = spark.read.parquet(_os.path.join(out, "neardup"))
+    assert nd.count() == 0
+    # dedup_near over the same empty table must also survive
+    out2 = str(tmp_path_factory.mktemp("pf_out2"))
+    run_pipeline(
+        spark, str(d / "pages.parquet"), out2, run_id="pf2",
+        extract_html=False, dedup_near=True,
+    )
+    assert spark.read.parquet(_os.path.join(out2, "neardup")).count() == 0
+
+
+def test_heal_single_run_spark_escaped_run_id(spark, tmp_path_factory):
+    """ADVICE r4 (low): Spark's partition escaping differs from urllib
+    quote (``run 1+x`` is written literally); heal_single_run must locate
+    the partition by listing+unquoting, not by re-deriving the name."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    from pii_detector_spark.plans.pipeline import (
+        heal_single_run,
+        mark_run_committed,
+        read_docs_table,
+        run_pipeline as _rp,
+    )
+
+    d = tmp_path_factory.mktemp("esc_src")
+    pq_.write_table(
+        _delta_tbl(["https://esc.example.com/1"], [_DELTA_UNIQ]),
+        str(d / "p.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("esc_out"))
+    rid = "run 1+x (batch)"
+    _rp(spark, str(d / "p.parquet"), out, run_id=rid, extract_html=False)
+    # Spark writes the space/'+'/'(' literally — the partition exists
+    docs_dirs = _os.listdir(_os.path.join(out, "docs"))
+    assert any("run 1+x" in e for e in docs_dirs), docs_dirs
+    # simulate a crash: remove the commit marker, then heal
+    from pii_detector_spark.plans.pipeline import _marker_path
+
+    _os.remove(_marker_path(out, rid))
+    healed = heal_single_run(out, rid)
+    assert "docs" in healed and "lineage" in healed
+    assert read_docs_table(spark, out).count() == 0
+
+
+def test_neardup_rewrite_crash_leaves_readable_tables(
+    spark, tmp_path_factory, monkeypatch
+):
+    """ADVICE r4 (low): the neardup/docs_deduped rewrites go through
+    write-aside + _swap_in, so a crash mid-rewrite leaves the OLD tables
+    intact (plain in-place overwrite would delete them first)."""
+    import os as _os
+
+    import pyarrow.parquet as pq_
+
+    from pii_detector_spark.plans import pipeline as pl
+
+    d = tmp_path_factory.mktemp("sw_src")
+    pq_.write_table(
+        _delta_tbl(
+            ["https://sw.example.com/1", "https://sw.example.com/2"],
+            [_DELTA_BASE, _DELTA_UNIQ],
+        ),
+        str(d / "p.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("sw_out"))
+    run_pipeline(spark, str(d / "p.parquet"), out, run_id="sw1",
+                 extract_html=False, dedup_near=True)
+    before = {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    assert before
+
+    real_swap = pl._swap_in
+
+    def killed_swap(path, tmp):
+        raise RuntimeError("injected kill before swap")
+
+    monkeypatch.setattr(pl, "_swap_in", killed_swap)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        run_pipeline(spark, str(d / "p.parquet"), out, run_id="sw2",
+                     extract_html=False, dedup_near=True)
+    # old table survived the crash, readable and complete
+    after = {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    }
+    assert after == before
+    # healed rerun converges
+    monkeypatch.setattr(pl, "_swap_in", real_swap)
+    run_pipeline(spark, str(d / "p.parquet"), out, run_id="sw3",
+                 extract_html=False, dedup_near=True)
+    assert {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "neardup")).collect()
+    } == before
