@@ -1471,20 +1471,130 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tagged_union(parts: "dict[str, DataFrame]") -> DataFrame:
+    """Union same-schema sub-queries under a ``case_tag`` column — the
+    registry-consolidation device (r4 task #1): the driver's correctness
+    gate truncates at ~50 entries, so same-shaped queries merge into one
+    row-tagged entry with IDENTICAL coverage (every sub-query still runs
+    and every row still hash-compares; the tag keeps provenance)."""
+    out = None
+    for tag, df in parts.items():
+        t = df.select(F.lit(tag).alias("case_tag"), "*")
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
+def _tagged_union_sql(parts: "dict[str, str]") -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS case_tag, * FROM ({sql.strip()}) u_{tag}"
+        for tag, sql in parts.items()
+    )
+
+
+def q_extract_file_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 per-format extraction, all four format families in one entry
+    (urls carry distinct prefixes per family): PDF (stdlib page-tree/
+    FlateDecode), DOCX/XLSX (zipped XML), CSV (sniffed), legacy .doc/.xls
+    (OLE2+BIFF8+Word97)."""
+    return (
+        q_extract_pdf_text(spark, sf_dir)
+        .unionByName(q_extract_office_text(spark, sf_dir))
+        .unionByName(q_extract_csv_text(spark, sf_dir))
+        .unionByName(q_extract_legacy_text(spark, sf_dir))
+    )
+
+
+def q_pii_scrub_contact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMAIL_ADDRESS + US_SSN masking (same output shape, tagged)."""
+    return _tagged_union({
+        "email": q_pii_scrub_email(spark, sf_dir),
+        "ssn": q_pii_scrub_ssn(spark, sf_dir),
+    })
+
+
+def q_pii_scrub_financial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial/government-ID battery categories, one tagged entry:
+    CREDIT_CARD (+IN_AADHAR co-match), IBAN_CODE, US_ITIN (+US_SSN
+    co-span), and the gov-id six-branch sweep (UK_NHS, IN_PAN,
+    US_PASSPORT, US_BANK+DL, CRYPTO, MEDICAL+DL)."""
+    return _tagged_union({
+        "credit_card": q_pii_scrub_credit_card(spark, sf_dir),
+        "iban": q_pii_scrub_iban(spark, sf_dir),
+        "itin": q_pii_scrub_itin(spark, sf_dir),
+        "gov_ids": q_pii_scrub_gov_ids(spark, sf_dir),
+    })
+
+
+def q_pii_scrub_credentials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential-class battery categories, one tagged entry:
+    IP_ADDRESSES, AWS_CREDENTIALS, GITHUB_CREDENTIALS, and the
+    twelve-branch credential-set sweep (TWILIO…INSURANCE)."""
+    return _tagged_union({
+        "ip": q_pii_scrub_ip(spark, sf_dir),
+        "aws_key": q_pii_scrub_aws_key(spark, sf_dir),
+        "github_token": q_pii_scrub_github_token(spark, sf_dir),
+        "credential_sets": q_pii_scrub_credential_sets(spark, sf_dir),
+    })
+
+
+def q_window_running_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 window shapes, one tagged entry in a common (key, grp, val)
+    shape: per-customer running order total + per-brand running budget
+    filter (the reference's 300 MB per-extension sampling cap)."""
+    orders = q_order_running_total(spark, sf_dir).select(
+        F.col("o_orderkey").alias("row_key"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        F.col("run_total").alias("val"),
+    )
+    parts = q_part_budget(spark, sf_dir).select(
+        F.col("p_partkey").alias("row_key"),
+        F.col("p_brand").alias("grp"),
+        F.col("run_spend").alias("val"),
+    )
+    return _tagged_union({"orders": orders, "parts": parts})
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 trend counters + streaming-shaped windowed rollup, one tagged
+    entry in a common (event_type, bucket_us, n_events, val) shape."""
+    hourly = q_events_hourly(spark, sf_dir).select(
+        "event_type",
+        F.col("hour_us").alias("bucket_us"),
+        "n_events",
+        F.col("sum_value").alias("val"),
+    )
+    windowed = q_events_windowed(spark, sf_dir).select(
+        "event_type",
+        F.col("window_start_us").alias("bucket_us"),
+        "n_events",
+        F.col("total_value").alias("val"),
+    )
+    return _tagged_union({"hourly": hourly, "windowed": windowed})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness gate runs entries in dict
-    # order and has truncated at entry ~50 (r3 stopped after the 50th).
-    # Least-recently-driver-verified and newest queries therefore run FIRST
-    # (after the warm-up query), and the longest-green expensive queries
-    # run last, so any future truncation costs re-verification of the
-    # oldest-green entries, never of new code.
+    # order and truncated at entry ~50 in r3 AND r4. The registry is now
+    # CONSOLIDATED under that budget (same-schema queries merged into
+    # tagged-union entries — _tagged_union — with identical coverage), so
+    # every entry gets a driver row each round. Newest queries still run
+    # first (after the warm-up) as insurance against future truncation.
     return {
         "pricing_summary": q_pricing_summary,  # warm-up: pays session init
         # --- newest / least-driver-verified first ---
+        "window_running_budget": q_window_running_budget,
+        "events_rollup": q_events_rollup,
+        "extract_file_texts": q_extract_file_texts,
+        "pii_scrub_contact": q_pii_scrub_contact,
+        "pii_scrub_financial": q_pii_scrub_financial,
+        "pii_scrub_credentials": q_pii_scrub_credentials,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_delta": q_minhash_delta,
+        "ngram_jaccard": q_ngram_jaccard,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_delta": q_ann_ivf_delta,
-        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "png_features": q_png_features,
@@ -1505,23 +1615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_planted": q_langid_planted,
         "word_ppl_planted": q_word_ppl_planted,
         "scrub_documents": q_scrub_documents,
-        "extract_pdf_text": q_extract_pdf_text,
-        "extract_office_text": q_extract_office_text,
-        "extract_csv_text": q_extract_csv_text,
-        "extract_legacy_text": q_extract_legacy_text,
         "explode_archives": q_explode_archives,
         "filename_classifiers": q_filename_classifiers,
-        "pii_scrub_email": q_pii_scrub_email,
-        "pii_scrub_ssn": q_pii_scrub_ssn,
-        "pii_scrub_credit_card": q_pii_scrub_credit_card,
-        "pii_scrub_iban": q_pii_scrub_iban,
-        "pii_scrub_ip": q_pii_scrub_ip,
-        "pii_scrub_itin": q_pii_scrub_itin,
-        "pii_scrub_aws_key": q_pii_scrub_aws_key,
-        "pii_scrub_github_token": q_pii_scrub_github_token,
         "pii_scrub_person": q_pii_scrub_person,
-        "pii_scrub_gov_ids": q_pii_scrub_gov_ids,
-        "pii_scrub_credential_sets": q_pii_scrub_credential_sets,
         "custom_classifier_scrub": q_custom_classifier_scrub,
         "boilerplate_shingles": q_boilerplate_shingles,
         "remove_boilerplate_lines": q_remove_boilerplate_lines,
@@ -1531,16 +1627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginate_orders": q_paginate_orders,
         "snapshot_diff": q_snapshot_diff,
         # --- expensive, longest-green last ---
-        "order_running_total": q_order_running_total,
-        "part_budget": q_part_budget,
-        "events_hourly": q_events_hourly,
-        "events_windowed": q_events_windowed,
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "repetition_metrics": q_repetition_metrics,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1999,7 +2088,7 @@ FROM d"""
 
 def oracle_sql() -> dict[str, str]:
     bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]"
-    return {
+    base = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
@@ -2605,3 +2694,49 @@ FROM documents""",
 SELECT doc_id::BIGINT AS doc_id, (doc_id % 5 = 1) AS is_fluent
 FROM documents""",
     }
+    # registry consolidation (mirrors queries()): merged tagged-union
+    # entries replace their members — identical SQL, identical coverage
+    base["extract_file_texts"] = "\nUNION ALL\n".join(
+        f"SELECT * FROM ({base.pop(n).strip()}) x_{i}"
+        for i, n in enumerate(
+            ("extract_pdf_text", "extract_office_text",
+             "extract_csv_text", "extract_legacy_text")
+        )
+    )
+    base["pii_scrub_contact"] = _tagged_union_sql({
+        "email": base.pop("pii_scrub_email"),
+        "ssn": base.pop("pii_scrub_ssn"),
+    })
+    base["pii_scrub_financial"] = _tagged_union_sql({
+        "credit_card": base.pop("pii_scrub_credit_card"),
+        "iban": base.pop("pii_scrub_iban"),
+        "itin": base.pop("pii_scrub_itin"),
+        "gov_ids": base.pop("pii_scrub_gov_ids"),
+    })
+    base["pii_scrub_credentials"] = _tagged_union_sql({
+        "ip": base.pop("pii_scrub_ip"),
+        "aws_key": base.pop("pii_scrub_aws_key"),
+        "github_token": base.pop("pii_scrub_github_token"),
+        "credential_sets": base.pop("pii_scrub_credential_sets"),
+    })
+    base["window_running_budget"] = _tagged_union_sql({
+        "orders": (
+            "SELECT o_orderkey AS row_key, o_custkey::VARCHAR AS grp, "
+            f"run_total AS val FROM ({base.pop('order_running_total').strip()}) w1"
+        ),
+        "parts": (
+            "SELECT p_partkey AS row_key, p_brand AS grp, "
+            f"run_spend AS val FROM ({base.pop('part_budget').strip()}) w2"
+        ),
+    })
+    base["events_rollup"] = _tagged_union_sql({
+        "hourly": (
+            "SELECT event_type, hour_us AS bucket_us, n_events, "
+            f"sum_value AS val FROM ({base.pop('events_hourly').strip()}) e1"
+        ),
+        "windowed": (
+            "SELECT event_type, window_start_us AS bucket_us, n_events, "
+            f"total_value AS val FROM ({base.pop('events_windowed').strip()}) e2"
+        ),
+    })
+    return base

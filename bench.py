@@ -51,8 +51,7 @@ HEADLINE_QUERIES = (
     "frame_sampling",
     "repetition_metrics",
     "dedup_clusters",
-    "extract_pdf_text",
-    "extract_legacy_text",
+    "extract_file_texts",  # r5: consolidated pdf/office/csv/legacy entry
     "word_ppl_planted",
     "minhash_delta",   # r4: incremental dedup parity path
     "png_features",    # r4: real PNG decode through the multimodal seam
