@@ -618,6 +618,34 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the distributed prefix sum
+    (``operators/packing.py``): bit-identical to DuckDB's global-window
+    cumsum, but the Spark plan has NO Exchange SinglePartition
+    (plan-pinned in tests/test_packing.py)."""
+    from pii_detector_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(dedup.words_col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_documents(d, budget_tokens=2000)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (the public 13-gram eval-overlap
+    recipe, here at n=5 over the word-soup corpus): benchmark = the
+    doc_id%20==3 slice of documents, so those docs self-flag and any
+    genuine cross-doc 5-gram collisions count exactly on both engines."""
+    from pii_detector_spark.operators.decontaminate import (
+        ngram_decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 3)
+    return ngram_decontaminate(d, bench, n=5)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_docs_per_shingle=None: fully exact, matching the (uncapped) DuckDB
     # oracle; production callers keep the default finite cap
@@ -1588,6 +1616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_contact": q_pii_scrub_contact,
         "pii_scrub_financial": q_pii_scrub_financial,
         "pii_scrub_credentials": q_pii_scrub_credentials,
+        "decontaminate": q_decontaminate,
+        "pack_shards": q_pack_shards,
         "simhash_pairs": q_simhash_pairs,
         "dedup_canonical": q_dedup_canonical,
         "dedup_clusters": q_dedup_clusters,
@@ -2269,6 +2299,33 @@ SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
        count(*)::BIGINT AS dup_count
 FROM documents GROUP BY 1""",
         "ngram_jaccard": _ngram_jaccard_sql(3, 0.5),
+        "pack_shards": f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL})::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, cum_tokens,
+       ((cum_tokens - n_tokens) // 2000)::BIGINT AS shard_id
+FROM c""",
+        "decontaminate": f"""
+WITH {_shingles_cte(5).lstrip()},
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS g FROM nz WHERE doc_id % 20 = 3
+),
+docg AS (SELECT doc_id, unnest(shingles) AS g FROM nz),
+hits AS (
+  SELECT doc_id, count(*) AS nh FROM docg JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, COALESCE(nh, 0)::BIGINT AS n_hit_grams,
+       COALESCE(nh, 0) >= 1 AS is_contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)""",
         "repetition_metrics": _repetition_sql(),
         "dedup_clusters": _dedup_clusters_sql(3, 0.5),
         "dedup_canonical": _dedup_canonical_sql(3, 0.5),

@@ -318,3 +318,61 @@ def test_simhash_pairs_candidates_subquadratic(spark):
         .count()
     )
     assert cands < n  # vs C(200,2) = 19,900 all-pairs
+
+
+class TestDecontaminate:
+    """Benchmark n-gram decontamination (training-data hygiene)."""
+
+    def test_flags_and_counts_overlapping_docs(self, spark):
+        from pii_detector_spark.operators.decontaminate import (
+            drop_contaminated,
+            ngram_decontaminate,
+        )
+
+        bench_text = "the capital of france is paris and the capital of italy is rome"
+        docs = spark.createDataFrame(
+            [
+                # contains 'the capital of france is paris' → many 5-gram hits
+                (1, "quiz answer the capital of france is paris obviously"),
+                # clean doc, no 5-gram overlap
+                (2, "completely unrelated text about gardening and tomato plants in summer"),
+                # contains a single overlapping 5-gram window region
+                (3, "trivia the capital of italy is rome fact"),
+                # too short for any 5-gram
+                (4, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["n_hit_grams"], r["is_contaminated"])
+            for r in ngram_decontaminate(docs, bench, n=5).collect()
+        }
+        # doc 1: windows of 'the capital of france is paris' = 2 5-grams
+        assert out[1] == (2, True)
+        assert out[2] == (0, False)
+        # doc 3: 'the capital of italy is rome' = 2 5-grams
+        assert out[3] == (2, True)
+        assert out[4] == (0, False)
+
+        kept = sorted(
+            r["doc_id"] for r in drop_contaminated(docs, bench, n=5).collect()
+        )
+        assert kept == [2, 4]
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        """The contamination join must broadcast the (small) benchmark
+        gram set — no shuffle of the corpus gram stream."""
+        from pii_detector_spark.operators.decontaminate import (
+            ngram_decontaminate,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * 20) for i in range(50)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(0, "w1 " * 20)], "doc_id long, text string"
+        )
+        out = ngram_decontaminate(docs, bench, n=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
