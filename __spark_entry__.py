@@ -1442,6 +1442,61 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode through the multimodal seam (``sources/gif.py``:
+    LZW, color table, interlace): palette-indexed frames whose index at
+    (x, y) is base + x + y with palette (i, 255-i, 2i), so the per-channel
+    means have closed forms; every 3rd image is interlaced (decode output
+    is identical, exercising the 4-pass row order); every 10th payload is
+    junk and degrades to null features per file."""
+    import numpy as np
+
+    from pii_detector_spark.sources.gif import build_gif
+
+    palette = np.stack(
+        [
+            np.arange(128, dtype=np.uint8),
+            255 - np.arange(128, dtype=np.uint8),
+            (2 * np.arange(128)).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    rows = []
+    for m in range(1, 51):
+        if m % 10 == 0:
+            payload = b"RIFX not-actually-media junk payload"
+        else:
+            base = (m * 7) % 100
+            w, h = 4 + m % 5, 3 + m % 4
+            idx = (
+                base + np.arange(w)[None, :] + np.arange(h)[:, None]
+            ).astype(np.uint8)
+            payload = build_gif(idx, palette, interlace=(m % 3 == 0))
+        rows.append((m, "image", bytearray(payload)))
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = multimodal.extract_media_features(d, decode_stub=False)
+    f = F.col("features")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.element_at(f, 1).cast("long").alias("width"),
+        F.element_at(f, 2).cast("long").alias("height"),
+        F.element_at(f, 3).cast("long").alias("channels"),
+        F.round(F.element_at(f, 4).cast("double"), 6).alias("mean_c0"),
+        F.round(F.element_at(f, 5).cast("double"), 6).alias("mean_c1"),
+        F.round(F.element_at(f, 6).cast("double"), 6).alias("mean_c2"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG + GIF real-decode features, one tagged entry (same shape)."""
+    return _tagged_union({
+        "png": q_png_features(spark, sf_dir),
+        "gif": q_gif_features(spark, sf_dir),
+    })
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the multimodal seam: deterministic 16-bit
     PCM WAVs (``sources/wav.py``) — channel 0 a DC level, channel 1 (when
@@ -1627,7 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_delta": q_ann_ivf_delta,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
-        "png_features": q_png_features,
+        "image_features": q_image_features,
         "wav_features": q_wav_features,
         "frame_sampling": q_frame_sampling,
         "ann_lsh": q_ann_lsh,
@@ -2707,6 +2762,27 @@ SELECT media_id::BIGINT AS media_id,
         WHEN ch >= 3 THEN base + 80 + (w - 1) / 2.0 + (h - 1) / 2.0
         ELSE 0.0 END, 6) AS mean_c2
 FROM p""",
+        "gif_features": """
+WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
+p AS (
+  SELECT media_id,
+         (media_id * 7) % 100 AS base,
+         4 + media_id % 5 AS w,
+         3 + media_id % 4 AS h,
+         media_id % 10 = 0 AS junk
+  FROM m
+)
+SELECT media_id::BIGINT AS media_id,
+  CASE WHEN junk THEN NULL ELSE w END::BIGINT AS width,
+  CASE WHEN junk THEN NULL ELSE h END::BIGINT AS height,
+  CASE WHEN junk THEN NULL ELSE 3 END::BIGINT AS channels,
+  round(CASE WHEN junk THEN NULL
+        ELSE base + (w - 1) / 2.0 + (h - 1) / 2.0 END, 6) AS mean_c0,
+  round(CASE WHEN junk THEN NULL
+        ELSE 255 - (base + (w - 1) / 2.0 + (h - 1) / 2.0) END, 6) AS mean_c1,
+  round(CASE WHEN junk THEN NULL
+        ELSE 2 * (base + (w - 1) / 2.0 + (h - 1) / 2.0) END, 6) AS mean_c2
+FROM p""",
         "wav_features": """
 WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
 p AS (
@@ -2760,6 +2836,10 @@ FROM documents""",
              "extract_csv_text", "extract_legacy_text")
         )
     )
+    base["image_features"] = _tagged_union_sql({
+        "png": base.pop("png_features"),
+        "gif": base.pop("gif_features"),
+    })
     base["pii_scrub_contact"] = _tagged_union_sql({
         "email": base.pop("pii_scrub_email"),
         "ssn": base.pop("pii_scrub_ssn"),

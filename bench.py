@@ -54,7 +54,7 @@ HEADLINE_QUERIES = (
     "extract_file_texts",  # r5: consolidated pdf/office/csv/legacy entry
     "word_ppl_planted",
     "minhash_delta",   # r4: incremental dedup parity path
-    "png_features",    # r4: real PNG decode through the multimodal seam
+    "image_features",  # r4/r5: real PNG + GIF decode through the seam
     "wav_features",    # r4: real WAV (PCM) decode through the same seam
 )
 

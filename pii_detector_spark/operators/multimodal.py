@@ -99,6 +99,24 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
         out += [float(m) for m in means]
         out += [0.0] * (N_FEATURES - len(out))
         return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from pii_detector_spark.sources.gif import decode_gif
+
+        try:
+            _sw, _sh, channels, px = decode_gif(payload)
+        except Exception as exc:  # noqa: BLE001 — same per-file policy
+            logging.getLogger(__name__).warning(
+                "GIF decode failed (%s: %s); null features",
+                type(exc).__name__, exc,
+            )
+            return None
+        means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
+        # report the decoded FRAME's dims (a frame can be smaller than
+        # the logical screen; the pixels are what the stats cover)
+        out = [float(px.shape[1]), float(px.shape[0]), float(channels)]
+        out += [float(m) for m in means]
+        out += [0.0] * (N_FEATURES - len(out))
+        return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         from pii_detector_spark.sources.wav import decode_wav
 

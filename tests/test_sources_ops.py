@@ -771,3 +771,115 @@ def test_decompression_bomb_guards():
     )
     with _pytest.raises(PdfParseError, match="decompression bomb"):
         extract_pdf_text(pdf_bomb)
+
+
+def test_gif_roundtrip_property():
+    """build_gif → decode_gif is the identity on (indices→palette) pixels
+    across palette sizes, LZW dict growth/reset, and interlace."""
+    import numpy as np
+
+    from pii_detector_spark.sources.gif import build_gif, decode_gif
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # (palette_n, h, w, interlace)
+        (2, 9, 7, False),
+        (16, 33, 10, True),       # interlace: 4-pass row order
+        (256, 100, 120, False),   # width growth + multiple sub-blocks
+        (256, 300, 300, True),    # dict RESET (4096 cap) + interlace
+        (8, 1, 1, False),         # single pixel
+    ]
+    for n, h, w, inter in cases:
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (h, w)).astype(np.uint8)
+        _sw, _sh, ch, rgb = decode_gif(build_gif(idx, pal, interlace=inter))
+        assert ch == 3
+        assert np.array_equal(rgb, pal[idx]), (n, h, w, inter)
+
+
+def test_gif_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.gif import (
+        GifParseError,
+        build_gif,
+        decode_gif,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    good = build_gif(np.zeros((3, 3), np.uint8), pal)
+    for bad in (
+        b"",                      # empty
+        b"GIF89a",                # header only
+        good[:20],                # truncated mid-stream
+        b"NOTGIF" + b"x" * 30,    # wrong magic
+        good[:-2] + b"\x00",      # trailer clipped mid-structure is fine…
+    ):
+        if bad == good[:-2] + b"\x00":
+            continue  # decode stops at the image block — still valid
+        with _pytest.raises(GifParseError):
+            decode_gif(bad)
+    # declared-size bomb guard: huge canvas rejected before any inflate
+    import struct
+
+    bomb = bytearray(good)
+    bomb[6:10] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+    # image descriptor dims live later; patch them too
+    w_off = good.index(b"\x2c") + 5
+    bomb[w_off:w_off + 4] = struct.pack("<HH", 0xFFFF, 0xFFFF)
+    with _pytest.raises(GifParseError, match="out of bounds"):
+        decode_gif(bytes(bomb))
+
+
+def test_gif_extension_blocks_skipped():
+    """Graphic-control/comment extensions before the frame are walked via
+    the sub-block chain per spec."""
+    import numpy as np
+
+    from pii_detector_spark.sources.gif import build_gif, decode_gif
+
+    pal = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    raw = build_gif(idx, pal)
+    # splice a GCE (0x21 0xF9) and a comment (0x21 0xFE) before the 0x2C
+    img_at = raw.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = raw[:img_at] + gce + comment + raw[img_at:]
+    _w, _h, ch, rgb = decode_gif(spliced)
+    assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_through_spark_seam(spark):
+    """GIF payloads decode inside extract_media_features; junk degrades
+    per file to null features."""
+    import numpy as np
+    from pyspark.sql import functions as F_
+
+    from pii_detector_spark.operators import multimodal
+    from pii_detector_spark.sources.gif import build_gif
+
+    pal = np.stack(
+        [np.arange(64, dtype=np.uint8),
+         (np.arange(64) * 2).astype(np.uint8),
+         (np.arange(64) * 3).astype(np.uint8)], axis=1)
+    idx = (np.add.outer(np.arange(5), np.arange(6)) % 64).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(build_gif(idx, pal))),
+        (2, "image", bytearray(b"GIF89a" + b"\x00" * 4)),  # corrupt
+    ]
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_media_features(
+            d, decode_stub=False
+        ).collect()
+    }
+    exp_mean0 = float(pal[idx][:, :, 0].mean())
+    assert out[1] is not None
+    assert out[1][0] == 6.0 and out[1][1] == 5.0 and out[1][2] == 3.0
+    assert abs(out[1][3] - exp_mean0) < 1e-9
+    assert out[2] is None  # per-file degradation
