@@ -48,6 +48,19 @@ def main() -> None:
                          "run's docs and band-join against the persisted "
                          "signatures table (new x all); same outputs as "
                          "--dedup-near, ~delta-sized work on reruns")
+    ap.add_argument("--decontaminate-against", default=None,
+                    help="parquet path of benchmark/eval texts (column "
+                         "'text'); writes a 'contamination' table flagging "
+                         "docs sharing any --decontaminate-ngram-gram with "
+                         "the benchmark (broadcast gram-digest join)")
+    ap.add_argument("--decontaminate-ngram", type=int, default=13,
+                    help="n-gram size for --decontaminate-against "
+                         "(public recipe: 13)")
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="token budget per training shard; writes a "
+                         "'shards' table (url, n_tokens, cum_tokens, "
+                         "shard_id) over kept docs via the distributed "
+                         "prefix sum")
     args = ap.parse_args()
 
     # session comes from spark-submit conf; only engine-required settings here
@@ -72,6 +85,45 @@ def main() -> None:
         dedup_delta=args.dedup_delta,
         dedup_max_iter=args.dedup_max_iter,
     )
+    if args.decontaminate_against:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.decontaminate import (
+            ngram_decontaminate,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        docs = read_docs_table(spark, args.output).filter(F.col("keep"))
+        bench = spark.read.parquet(args.decontaminate_against)
+        flags = ngram_decontaminate(
+            docs, bench,
+            n=args.decontaminate_ngram,
+            id_col="url", text_col="scrubbed_text",
+        )
+        # id_col url is a string: ngram_decontaminate keys on it directly
+        flags.write.mode("overwrite").parquet(
+            os.path.join(args.output, "contamination")
+        )
+
+    if args.pack_budget:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.packing import (
+            pack_documents_by_url,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        kept = read_docs_table(spark, args.output).filter(F.col("keep"))
+        shards = pack_documents_by_url(
+            kept.select("url", F.col("n_words").alias("n_tokens")),
+            args.pack_budget,
+        )
+        shards.write.mode("overwrite").parquet(
+            os.path.join(args.output, "shards")
+        )
+
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "
         f"findings={res.findings_path} lineage={res.lineage_path} "

@@ -38,10 +38,12 @@ from pii_detector_spark.operators.dedup import shingles_col
 def _gram_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
+    # id column keeps its input type (long doc ids and string urls both
+    # key the hit aggregation fine)
     return df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        id_col,
         F.explode(shingles_col(n, text_col)).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    ).select(id_col, F.xxhash64("g").alias("gh"))
 
 
 def ngram_decontaminate(
@@ -72,12 +74,12 @@ def ngram_decontaminate(
         # docs-side grams are distinct per doc (shingles_col dedups), so
         # a plain count after the semi-ish inner join is count(DISTINCT)
         .join(F.broadcast(bench), "gh")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
-    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    return ids.join(hits, "doc_id", "left").select(
-        "doc_id",
+    ids = docs.select(id_col)
+    return ids.join(hits, id_col, "left").select(
+        id_col,
         F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
         (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias(
             "is_contaminated"
@@ -98,9 +100,4 @@ def drop_contaminated(
     bad = ngram_decontaminate(
         docs, benchmark, n, id_col, text_col, bench_text_col, min_hits
     ).filter(F.col("is_contaminated"))
-    key = docs[id_col].cast("long")
-    return docs.join(
-        bad.select(F.col("doc_id").alias("__bad_id")),
-        key == F.col("__bad_id"),
-        "left_anti",
-    )
+    return docs.join(bad.select(id_col), id_col, "left_anti")

@@ -111,10 +111,28 @@ def pack_documents(
     order = order_col or id_col
     out = with_global_cumsum(df, count_col, order, out_col="cum_tokens")
     return out.select(
-        F.col(id_col).cast("long").alias(id_col),
+        id_col,
         F.col(count_col).cast("long").alias(count_col),
         "cum_tokens",
         F.floor(
             (F.col("cum_tokens") - F.col(count_col)) / budget_tokens
         ).cast("long").alias("shard_id"),
     )
+
+
+def pack_documents_by_url(
+    df: DataFrame,
+    budget_tokens: int,
+    url_col: str = "url",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """String-keyed variant: the global order is ``xxhash64(url)`` (any
+    STABLE order packs correctly, and hash order needs no string
+    quantiles — ``with_global_cumsum``'s range bucketing wants a numeric
+    key). Output keeps the url column."""
+    keyed = df.withColumn("_ord", F.xxhash64(F.col(url_col)))
+    out = pack_documents(
+        keyed, budget_tokens, id_col=url_col, count_col=count_col,
+        order_col="_ord",
+    )
+    return out.drop("_ord")

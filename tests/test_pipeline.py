@@ -901,3 +901,72 @@ def test_neardup_rewrite_crash_leaves_readable_tables(
         r["url"] for r in
         spark.read.parquet(_os.path.join(out, "neardup")).collect()
     } == before
+
+
+def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
+    """The spark-submit entry point end-to-end with the round-5 flags:
+    --decontaminate-against writes a 'contamination' table keyed by url;
+    --pack-budget writes a 'shards' table over kept docs."""
+    import os as _os
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    keep_text = (
+        "meanwhile the curious cat walks along the quiet river and then "
+        "sits beside the old wooden bridge while the evening light fades "
+    ) * 4
+    other = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    src = tmp_path_factory.mktemp("cli_src")
+    urls = [f"https://cli.example.com/{i}" for i in range(4)]
+    pq_.write_table(
+        _delta_tbl(urls, [keep_text, other, keep_text + " tail", other + " x"]),
+        str(src / "p.parquet"),
+    )
+    bench_dir = tmp_path_factory.mktemp("cli_bench")
+    pq_.write_table(
+        _delta_tbl(["bench://1"], [keep_text]), str(bench_dir / "b.parquet")
+    )
+    out = str(tmp_path_factory.mktemp("cli_out"))
+
+    import jobs.run_quality_filter as job
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_quality_filter.py",
+        "--input", str(src / "p.parquet"),
+        "--output", out,
+        "--run-id", "cli1",
+        "--no-html",
+        "--decontaminate-against", str(bench_dir / "b.parquet"),
+        "--decontaminate-ngram", "5",
+        "--pack-budget", "100",
+    ])
+    # the job builds its own session via getOrCreate -> reuses the test one
+    monkeypatch.setattr(
+        type(spark), "stop", lambda self: None, raising=False
+    )
+    job.main()
+
+    cont = {
+        r["url"]: (r["n_hit_grams"], r["is_contaminated"])
+        for r in spark.read.parquet(_os.path.join(out, "contamination")).collect()
+    }
+    # docs built from keep_text overlap the benchmark; others don't
+    assert cont[urls[0]][1] is True and cont[urls[0]][0] > 0
+    assert cont[urls[2]][1] is True
+    assert cont[urls[1]] == (0, False) and cont[urls[3]] == (0, False)
+
+    shards = spark.read.parquet(_os.path.join(out, "shards")).collect()
+    kept_urls = {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "docs"))
+        .filter("keep").collect()
+    }
+    assert {r["url"] for r in shards} == kept_urls
+    assert all(r["shard_id"] >= 0 for r in shards)
+    # cumulative totals are a permutation-consistent prefix sum
+    tot = sum(r["n_tokens"] for r in shards)
+    assert max(r["cum_tokens"] for r in shards) == tot
