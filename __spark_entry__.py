@@ -1489,11 +1489,53 @@ def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the seam (``sources/jpeg.py``:
+    Annex-K Huffman, entropy decode, IDCT, YCbCr): UNIFORM images under
+    unit quantization carry only DC coefficients and decode BIT-EXACTLY
+    (per-channel rounding error < 0.5 for integer inputs), so constant
+    gray/color fixtures give closed-form features while the full
+    huffman/IDCT machinery executes; non-multiple-of-8 dims exercise the
+    edge-replication path; every 10th payload is junk → null features."""
+    import numpy as np
+
+    from pii_detector_spark.sources.jpeg import build_jpeg
+
+    rows = []
+    for m in range(1, 51):
+        if m % 10 == 0:
+            payload = b"\x00\x00\x01\xba not-a-jpeg mpeg-ish junk"
+        else:
+            w, h = 8 + m % 9, 8 + m % 7
+            if m % 2 == 1:
+                img = np.full((h, w), (m * 11) % 256, np.uint8)
+            else:
+                img = np.zeros((h, w, 3), np.uint8)
+                img[...] = ((m * 17) % 256, (m * 29) % 256, (m * 43) % 256)
+            payload = build_jpeg(img)
+        rows.append((m, "image", bytearray(payload)))
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = multimodal.extract_media_features(d, decode_stub=False)
+    f = F.col("features")
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.element_at(f, 1).cast("long").alias("width"),
+        F.element_at(f, 2).cast("long").alias("height"),
+        F.element_at(f, 3).cast("long").alias("channels"),
+        F.round(F.element_at(f, 4).cast("double"), 6).alias("mean_c0"),
+        F.round(F.element_at(f, 5).cast("double"), 6).alias("mean_c1"),
+        F.round(F.element_at(f, 6).cast("double"), 6).alias("mean_c2"),
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG + GIF real-decode features, one tagged entry (same shape)."""
+    """PNG + GIF + JPEG real-decode features, one tagged entry."""
     return _tagged_union({
         "png": q_png_features(spark, sf_dir),
         "gif": q_gif_features(spark, sf_dir),
+        "jpeg": q_jpeg_features(spark, sf_dir),
     })
 
 
@@ -2783,6 +2825,31 @@ SELECT media_id::BIGINT AS media_id,
   round(CASE WHEN junk THEN NULL
         ELSE 2 * (base + (w - 1) / 2.0 + (h - 1) / 2.0) END, 6) AS mean_c2
 FROM p""",
+        "jpeg_features": """
+WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
+p AS (
+  SELECT media_id,
+         8 + media_id % 9 AS w,
+         8 + media_id % 7 AS h,
+         media_id % 2 = 1 AS gray,
+         (media_id * 11) % 256 AS cg,
+         (media_id * 17) % 256 AS cr_,
+         (media_id * 29) % 256 AS cgn,
+         (media_id * 43) % 256 AS cb_,
+         media_id % 10 = 0 AS junk
+  FROM m
+)
+SELECT media_id::BIGINT AS media_id,
+  CASE WHEN junk THEN NULL ELSE w END::BIGINT AS width,
+  CASE WHEN junk THEN NULL ELSE h END::BIGINT AS height,
+  CASE WHEN junk THEN NULL WHEN gray THEN 1 ELSE 3 END::BIGINT AS channels,
+  round(CASE WHEN junk THEN NULL
+        WHEN gray THEN cg::DOUBLE ELSE cr_::DOUBLE END, 6) AS mean_c0,
+  round(CASE WHEN junk THEN NULL
+        WHEN gray THEN 0.0::DOUBLE ELSE cgn::DOUBLE END, 6) AS mean_c1,
+  round(CASE WHEN junk THEN NULL
+        WHEN gray THEN 0.0::DOUBLE ELSE cb_::DOUBLE END, 6) AS mean_c2
+FROM p""",
         "wav_features": """
 WITH m AS (SELECT unnest(generate_series(1, 50)) AS media_id),
 p AS (
@@ -2839,6 +2906,7 @@ FROM documents""",
     base["image_features"] = _tagged_union_sql({
         "png": base.pop("png_features"),
         "gif": base.pop("gif_features"),
+        "jpeg": base.pop("jpeg_features"),
     })
     base["pii_scrub_contact"] = _tagged_union_sql({
         "email": base.pop("pii_scrub_email"),

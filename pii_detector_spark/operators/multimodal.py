@@ -99,6 +99,22 @@ def _real_decode_features(payload: bytes) -> list[float] | None:
         out += [float(m) for m in means]
         out += [0.0] * (N_FEATURES - len(out))
         return out
+    if payload[:2] == b"\xff\xd8":
+        from pii_detector_spark.sources.jpeg import decode_jpeg
+
+        try:
+            width, height, channels, px = decode_jpeg(payload)
+        except Exception as exc:  # noqa: BLE001 — same per-file policy
+            logging.getLogger(__name__).warning(
+                "JPEG decode failed (%s: %s); null features",
+                type(exc).__name__, exc,
+            )
+            return None
+        means = px.reshape(-1, channels).mean(axis=0, dtype=np.float64)
+        out = [float(width), float(height), float(channels)]
+        out += [float(m) for m in means]
+        out += [0.0] * (N_FEATURES - len(out))
+        return out
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from pii_detector_spark.sources.gif import decode_gif
 

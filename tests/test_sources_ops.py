@@ -883,3 +883,88 @@ def test_gif_through_spark_seam(spark):
     assert out[1][0] == 6.0 and out[1][1] == 5.0 and out[1][2] == 3.0
     assert abs(out[1][3] - exp_mean0) < 1e-9
     assert out[2] is None  # per-file degradation
+
+
+def test_jpeg_roundtrip_uniform_exact_and_lossy_bounds():
+    """Unit-quant baseline JPEG: uniform images (gray + color, including
+    non-multiple-of-8 dims via edge replication) decode bit-exactly;
+    arbitrary content round-trips within the float-DCT quantization
+    bound."""
+    import numpy as np
+
+    from pii_detector_spark.sources.jpeg import build_jpeg, decode_jpeg
+
+    for c in (0, 7, 128, 255):
+        img = np.full((13, 21), c, np.uint8)  # odd dims: edge blocks
+        w, h, ch, px = decode_jpeg(build_jpeg(img))
+        assert (w, h, ch) == (21, 13, 1)
+        assert np.array_equal(px, img)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[...] = (37, 180, 99)
+    _w, _h, ch, px = decode_jpeg(build_jpeg(img))
+    assert ch == 3 and np.array_equal(px, img)
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    _w, _h, _ch, px = decode_jpeg(build_jpeg(gray))
+    assert np.abs(px.astype(int) - gray.astype(int)).max() <= 2
+    rgb = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    _w, _h, _ch, px = decode_jpeg(build_jpeg(rgb))
+    assert np.abs(px.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_jpeg_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from pii_detector_spark.sources.jpeg import (
+        JpegParseError,
+        build_jpeg,
+        decode_jpeg,
+    )
+
+    good = build_jpeg(np.full((8, 8), 5, np.uint8))
+    for bad in (b"", b"\xff\xd8", good[:30], b"nope" * 10):
+        with _pytest.raises(JpegParseError):
+            decode_jpeg(bad)
+    # progressive (SOF2) explicitly unsupported, not misdecoded
+    sof0_at = good.index(b"\xff\xc0")
+    prog = good[:sof0_at] + b"\xff\xc2" + good[sof0_at + 2:]
+    with _pytest.raises(JpegParseError, match="non-baseline"):
+        decode_jpeg(prog)
+    # declared-size bomb guard
+    import struct as _struct
+
+    bomb = bytearray(good)
+    dims_at = sof0_at + 5
+    bomb[dims_at:dims_at + 4] = _struct.pack(">HH", 0xFFFF, 0xFFFF)
+    with _pytest.raises(JpegParseError, match="out of bounds"):
+        decode_jpeg(bytes(bomb))
+
+
+def test_jpeg_through_spark_seam(spark):
+    """JPEG payloads decode inside extract_media_features next to PNG and
+    GIF; corrupt payloads degrade per file."""
+    import numpy as np
+
+    from pii_detector_spark.operators import multimodal
+    from pii_detector_spark.sources.jpeg import build_jpeg
+
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[...] = (50, 100, 150)
+    rows = [
+        (1, "image", bytearray(build_jpeg(img))),
+        (2, "image", bytearray(b"\xff\xd8\xff\xee broken")),
+    ]
+    d = spark.createDataFrame(
+        rows, schema="media_id long, kind string, payload binary"
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_media_features(
+            d, decode_stub=False
+        ).collect()
+    }
+    assert out[1][:3] == [12.0, 10.0, 3.0]
+    assert out[1][3:6] == [50.0, 100.0, 150.0]
+    assert out[2] is None
