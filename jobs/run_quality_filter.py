@@ -94,7 +94,15 @@ def main() -> None:
         )
         from pii_detector_spark.plans.pipeline import read_docs_table
 
-        docs = read_docs_table(spark, args.output).filter(F.col("keep"))
+        # one row per url: the resume contract keeps one live content per
+        # url within a pattern version, but a pattern bump over the same
+        # output dir leaves historical rows — without the dedup they
+        # would double-count grams and emit duplicate flag rows
+        docs = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])
+        )
         bench = spark.read.parquet(args.decontaminate_against)
         flags = ngram_decontaminate(
             docs, bench,
@@ -115,7 +123,11 @@ def main() -> None:
         )
         from pii_detector_spark.plans.pipeline import read_docs_table
 
-        kept = read_docs_table(spark, args.output).filter(F.col("keep"))
+        kept = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+        )
         shards = pack_documents_by_url(
             kept.select("url", F.col("n_words").alias("n_tokens")),
             args.pack_budget,

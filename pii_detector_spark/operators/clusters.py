@@ -7,34 +7,34 @@ pipeline keeps ONE representative per duplicate cluster, and clusters are
 the transitive closure of the pair graph (A~B, B~C ⇒ {A,B,C} even when
 A≁C directly).
 
-Spark-first shape — iterative min-label propagation in pure DataFrame ops
-(the hash-to-min variant of map-reduce connected components; no driver-side
-graph, no GraphX):
+Spark-first shape — large-star/small-star alternation in pure DataFrame
+ops (the public CC-in-MapReduce construction, Kiveris et al.'s
+small-star/large-star family; PAPERS.md — no driver-side graph, no
+GraphX):
 
-* labels start as each vertex's own id; every round each vertex takes the
-  min of its label and its neighbors' labels (edge join + groupBy-min);
-  converges to the component's min id in ≤ graph-diameter rounds.
-* each round materializes via the convergence check (a changed-count job),
-  persists its labels and unpersists the previous round's — bounded
-  memory, early exit the first round nothing changes.
-* near-dup graphs are overwhelmingly tiny cliques/chains (diameter ≤ 3-4),
-  so round count is small and each round is one shuffle join + one
-  shuffle agg over (id, id) rows — 16 bytes/vertex, never text.
-* the returned labels are snapshot via ``localCheckpoint`` so every loop
-  persist can be dropped before returning — no cached relations outlive
-  the call (checkpoint blocks are GC-cleaned with the DataFrame).
+* each round rewires edges toward neighborhood minima (large-star for
+  greater neighbors, small-star for smaller ones); the edge set
+  contracts to a forest of stars rooted at each component's min id in
+  O(log² n) rounds worst case, INDEPENDENT of graph diameter — min-label
+  propagation (the previous implementation) needs ~diameter rounds, and
+  web-scale near-dup chains (boilerplate series) routinely exceed any
+  fixed diameter budget.
+* every round moves only (id, id) edge rows — 16 bytes/edge, never text —
+  through two groupBy-mins and two joins.
+* each round's edge set is ``localCheckpoint``-ed (the round references
+  its predecessor more than once, so without lineage truncation the
+  logical plan doubles per round) and the previous round's checkpoint
+  blocks are dropped explicitly — bounded memory, nothing cached
+  outlives the call.
 
 The reference has no dedup canonicalization (it deduplicates scan WORK by
-url, ``base_scan_service.py:431-447``); this implements the standard
-map-reduce CC construction (Vassilvitskii et al.'s small-star/large-star
-family; PAPERS.md) in its simplest min-propagation form.
+url, ``base_scan_service.py:431-447``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def connected_components(
@@ -73,11 +73,7 @@ def connected_components(
     count + empty anti-join — exact, not probabilistic). At the fixed
     point the edges are exactly (member, component-min) stars.
     """
-    sc = pairs.sparkSession.sparkContext
-    jsc = sc._jsc
-
-    def _persistent_ids() -> set:
-        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    jsc = pairs.sparkSession.sparkContext._jsc
 
     def _drop_blocks(ids: set) -> None:
         # a localCheckpoint's blocks are released only when the JVM-side
@@ -92,9 +88,16 @@ def connected_components(
                 ref.unpersist(False)
 
     def _ckpt(df: DataFrame) -> tuple[DataFrame, set]:
-        before = _persistent_ids()
         out = df.localCheckpoint(eager=True)
-        return out, _persistent_ids() - before
+        try:
+            # attribute the checkpoint's cached RDD by asking the plan
+            # itself (LogicalRDD.rdd().id()) — a before/after diff of the
+            # context-global persistent-RDD map would race with concurrent
+            # threads of the same session and could steal THEIR blocks
+            ids = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+        except Exception:  # noqa: BLE001 — leak (GC cleans up) over steal
+            ids = set()
+        return out, ids
 
     canon = (
         pairs.select(

@@ -44,11 +44,13 @@ def with_global_cumsum(
     order_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = running sum of ``value_col`` in global
     ``order_col`` order (inclusive), without a single-partition window.
-    ``order_col`` must be unique and numeric (it defines the global
-    order and the range bucketing)."""
+    ``order_col`` must be numeric (it defines the global order and the
+    range bucketing) and unique — or pass ``tiebreak_col`` to make ties
+    deterministic (hash order keys can collide)."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
     probs = [i / p for i in range(1, p)]
@@ -79,9 +81,10 @@ def with_global_cumsum(
         ),
         F.col("_pid"),
     ) if offsets else F.lit(0)
+    order_keys = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -109,7 +112,10 @@ def pack_documents(
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     order = order_col or id_col
-    out = with_global_cumsum(df, count_col, order, out_col="cum_tokens")
+    out = with_global_cumsum(
+        df, count_col, order, out_col="cum_tokens",
+        tiebreak_col=id_col if order != id_col else None,
+    )
     return out.select(
         id_col,
         F.col(count_col).cast("long").alias(count_col),

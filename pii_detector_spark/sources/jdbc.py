@@ -142,10 +142,13 @@ def jdbc_table_stats(
     reference's pre-scan (``redshift_service.py:272-309`` runs COUNT first,
     then walks offsets; here a single aggregate replaces both). Runs
     server-side through the JDBC subquery-pushdown form."""
-    # ANSI-quote the column: Spark's JDBC writer creates columns quoted
-    # (case-sensitive), so an unquoted identifier would fold to the
-    # dialect's default case and miss
-    col = f'"{partition_column}"'
+    # quote the column (Spark's JDBC writer creates columns quoted /
+    # case-sensitive, so an unquoted identifier would fold to the
+    # dialect's default case and miss) — with the DIALECT's quote char:
+    # MySQL without ANSI_QUOTES reads double-quoted names as string
+    # literals
+    q_ = quote_char_for(url)
+    col = f"{q_}{partition_column}{q_}"
     q = (
         f"(SELECT COUNT(*) AS n, MIN({col}) AS lo, "
         f"MAX({col}) AS hi FROM {table}) stats_q"
@@ -213,17 +216,28 @@ def read_jdbc(
 
 # --- catalog enumeration (the reference's list-tables-with-sizes step) ------
 
+def quote_char_for(url: str) -> str:
+    """The dialect's identifier quote: backtick for MySQL (double quotes
+    are string literals there unless ANSI_QUOTES is set), ANSI double
+    quote everywhere else."""
+    return "`" if url.lower().startswith("jdbc:mysql") else '"'
+
+
 @dataclass(frozen=True)
 class JdbcTableInfo:
-    """One discovered table (reference shape: name + size estimate)."""
+    """One discovered table (reference shape: name + size estimate).
+    ``quote`` records the source dialect's identifier quote char so
+    ``qualified`` stays valid on MySQL."""
 
     schema: str
     table: str
     rows: int
+    quote: str = '"'
 
     @property
     def qualified(self) -> str:
-        return f'"{self.schema}"."{self.table}"'
+        q = self.quote
+        return f"{q}{self.schema}{q}.{q}{self.table}{q}"
 
 
 # per-dialect catalog relations, selected by JDBC url prefix. Every query
@@ -299,11 +313,15 @@ def list_jdbc_tables(
     ]
     if schema is not None:
         names = [(s, t) for s, t in names if s == schema]
+    qc = quote_char_for(url)
     out = []
     for s, t in sorted(names):
         rows = -1
         if with_counts:
-            cq = f'(SELECT COUNT(*) AS n FROM "{s}"."{t}") cnt_q'
+            cq = (
+                f"(SELECT COUNT(*) AS n FROM "
+                f"{qc}{s}{qc}.{qc}{t}{qc}) cnt_q"
+            )
             cr = (
                 spark.read.format("jdbc")
                 .option("url", url)
@@ -313,7 +331,7 @@ def list_jdbc_tables(
                 cr = cr.option(k, v)
             row = cr.load().collect()[0]
             rows = int(row["N" if "N" in row.__fields__ else "n"])
-        out.append(JdbcTableInfo(schema=s, table=t, rows=rows))
+        out.append(JdbcTableInfo(schema=s, table=t, rows=rows, quote=qc))
     return out
 
 
@@ -328,10 +346,15 @@ def scan_jdbc_catalog(
     """The reference's whole-warehouse walk: enumerate tables, then read
     each through the planned partitioned path. ``partition_column_for``
     maps a discovered table to its numeric partition key (return None to
-    read that table as a single partition — small/keyless tables)."""
+    read that table as a single partition — small/keyless tables).
+
+    Keys are ``schema.table``: a bare-table-name key would silently
+    overwrite when the same table name exists in two schemas (the
+    tenant-per-schema warehouse layout)."""
     out: dict[str, DataFrame] = {}
     for info in list_jdbc_tables(spark, url, schema=schema, **options):
         pcol = partition_column_for(info)
+        key = f"{info.schema}.{info.table}"
         if pcol is None or info.rows == 0:
             reader = (
                 spark.read.format("jdbc")
@@ -340,9 +363,9 @@ def scan_jdbc_catalog(
             )
             for k, v in options.items():
                 reader = reader.option(k, v)
-            out[info.table] = reader.load()
+            out[key] = reader.load()
         else:
-            out[info.table] = read_jdbc_table(
+            out[key] = read_jdbc_table(
                 spark, url, info.qualified, pcol,
                 chunk_rows=chunk_rows, **options,
             )

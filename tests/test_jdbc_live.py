@@ -172,8 +172,11 @@ class TestCatalogEnumeration:
             partition_column_for=lambda info: "k",
             chunk_rows=100, driver=DRIVER,
         )
-        assert set(dfs) == {"T_ORDERS", "T_CUSTS"}
-        orders = dfs["T_ORDERS"]
+        # schema-qualified keys: same-named tables in two schemas must
+        # not silently overwrite each other
+        assert {k.split(".", 1)[1] for k in dfs} == {"T_ORDERS", "T_CUSTS"}
+        orders = next(v for k, v in dfs.items() if k.endswith("T_ORDERS"))
+        custs = next(v for k, v in dfs.items() if k.endswith("T_CUSTS"))
         assert orders.rdd.getNumPartitions() == 3  # ceil(300/100)
         assert sorted(r["k"] for r in orders.collect()) == list(range(300))
-        assert sorted(r["k"] for r in dfs["T_CUSTS"].collect()) == list(range(40))
+        assert sorted(r["k"] for r in custs.collect()) == list(range(40))
