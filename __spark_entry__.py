@@ -618,6 +618,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb anti-dominance step,
+    ``operators/domains.py``): deterministic md5-ranked top-10 per host;
+    DuckDB reproduces the identical ranking expression."""
+    from pii_detector_spark.operators.domains import cap_per_host
+
+    web = _docs_as_web_pages(_t(spark, sf_dir, "documents"))
+    out = cap_per_host(web.select("url"), max_docs_per_host=10)
+    return out.select("url", "host", "host_rank", "kept")
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing via the distributed prefix sum
     (``operators/packing.py``): bit-identical to DuckDB's global-window
@@ -1715,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_credentials": q_pii_scrub_credentials,
         "decontaminate": q_decontaminate,
         "pack_shards": q_pack_shards,
+        "host_cap": q_host_cap,
         "simhash_pairs": q_simhash_pairs,
         "dedup_canonical": q_dedup_canonical,
         "dedup_clusters": q_dedup_clusters,
@@ -2411,6 +2423,23 @@ c AS (
 SELECT doc_id::BIGINT AS doc_id, n_tokens, cum_tokens,
        ((cum_tokens - n_tokens) // 2000)::BIGINT AS shard_id
 FROM c""",
+        "host_cap": """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id::VARCHAR
+           || '.html' AS url,
+         source || '.example.com' AS host
+  FROM documents
+),
+r AS (
+  SELECT url, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY md5(url), url
+         ) AS host_rank
+  FROM u
+)
+SELECT url, host, host_rank::BIGINT AS host_rank,
+       host_rank <= 10 AS kept
+FROM r""",
         "decontaminate": f"""
 WITH {_shingles_cte(5).lstrip()},
 bench AS (
