@@ -56,6 +56,14 @@ def main() -> None:
     ap.add_argument("--decontaminate-ngram", type=int, default=13,
                     help="n-gram size for --decontaminate-against "
                          "(public recipe: 13)")
+    ap.add_argument("--host-cap", type=int, default=None,
+                    help="max docs any single host contributes; applied "
+                         "to kept docs before packing. Uses the windowless "
+                         "rate-cap scale path (exact per-host counts -> "
+                         "keep probabilities; only over-cap hosts "
+                         "broadcast); add --host-cap-exact for the "
+                         "md5-ranked exact top-k variant")
+    ap.add_argument("--host-cap-exact", action="store_true")
     ap.add_argument("--pack-budget", type=int, default=None,
                     help="token budget per training shard; writes a "
                          "'shards' table (url, n_tokens, cum_tokens, "
@@ -114,7 +122,7 @@ def main() -> None:
             os.path.join(args.output, "contamination")
         )
 
-    if args.pack_budget:
+    if args.pack_budget or args.host_cap:
         import os
 
         from pyspark.sql import functions as F
@@ -128,6 +136,22 @@ def main() -> None:
             .filter(F.col("keep"))
             .dropDuplicates(["url"])  # same one-row-per-url guard
         )
+        if args.host_cap:
+            from pii_detector_spark.operators.domains import (
+                drop_over_cap,
+                rate_cap_per_host,
+            )
+
+            capped = (
+                drop_over_cap(kept, args.host_cap)
+                if args.host_cap_exact
+                else rate_cap_per_host(kept, args.host_cap).drop("host")
+            )
+            capped.write.mode("overwrite").parquet(
+                os.path.join(args.output, "docs_capped")
+            )
+            kept = capped
+    if args.pack_budget:
         shards = pack_documents_by_url(
             kept.select("url", F.col("n_words").alias("n_tokens")),
             args.pack_budget,

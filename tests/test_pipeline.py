@@ -943,6 +943,7 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
         "--decontaminate-against", str(bench_dir / "b.parquet"),
         "--decontaminate-ngram", "5",
         "--pack-budget", "100",
+        "--host-cap", "10", "--host-cap-exact",
     ])
     # the job builds its own session via getOrCreate -> reuses the test one
     monkeypatch.setattr(
@@ -958,6 +959,9 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
     assert cont[urls[0]][1] is True and cont[urls[0]][0] > 0
     assert cont[urls[2]][1] is True
     assert cont[urls[1]] == (0, False) and cont[urls[3]] == (0, False)
+
+    capped = spark.read.parquet(_os.path.join(out, "docs_capped"))
+    assert capped.count() == capped.select("url").distinct().count()
 
     shards = spark.read.parquet(_os.path.join(out, "shards")).collect()
     kept_urls = {
