@@ -42,8 +42,13 @@ _SPACES = re.compile(r"[ \t\r\f\v]+")
 
 
 def normalize_text(text: str) -> str:
-    """Whitespace-normalize text to the canonical extracted form."""
-    lines = [_SPACES.sub(" ", ln).strip() for ln in text.split("\n")]
+    """Whitespace-normalize text to the canonical extracted form.
+
+    The horizontal-whitespace class cannot match ``\\n``, so one sub over
+    the whole document is equivalent to a sub per line and avoids ~30
+    Python-level ``re.sub`` calls per document in the fused hot path.
+    """
+    lines = [ln.strip() for ln in _SPACES.sub(" ", text).split("\n")]
     out: list[str] = []
     blank = False
     for ln in lines:

@@ -124,13 +124,19 @@ def _word_char_stats(text: str) -> tuple[int, int]:
     letters = alpha_tab[codes]
     word_id = np.cumsum(starts)
     w = word_id[letters]
-    alpha_words = int((np.diff(w) > 0).sum()) + 1 if w.size else 0
-    return int(nonws.sum()), alpha_words
+    # w is nondecreasing, so "distinct word ids" = nonzero first differences
+    alpha_words = int(np.count_nonzero(np.diff(w))) + 1 if w.size else 0
+    return int(np.count_nonzero(nonws)), alpha_words
 
 
 def process_document(url: str, text: str, t: QualityThresholds) -> dict:
     """Full per-document decision + scrub (pure function; one doc)."""
-    words = [w for w in _WS.split(text) if w]
+    # One C-level lower of the whole doc replaces a .lower() per word:
+    # case mapping never produces or consumes the whitespace chars in _WS
+    # (and Python's final-sigma context is the same at a word end as at a
+    # string end), so the split structure and the lowered-word set are
+    # identical to splitting first and lowering each word.
+    words = [w for w in _WS.split(text.lower()) if w]
     lines = [ln for ln in text.split("\n") if ln]
     nw, nl = len(words), len(lines)
 
@@ -153,7 +159,7 @@ def process_document(url: str, text: str, t: QualityThresholds) -> dict:
     )
     alpha = (alpha_words / nw) if nw else 0.0
     dup = (1.0 - len(set(lines)) / nl) if nl else 0.0
-    lowered = {w.lower() for w in words}
+    lowered = set(words)
     stop_hits = len(lowered & _STOPSET)
     toxic = not lowered.isdisjoint(TOXIC_SET)
     lang = predict_lang(text)

@@ -60,6 +60,8 @@ from pii_detector_spark.functions.person import (
 )
 from pii_detector_spark.patterns import (
     compiled_battery,
+    compiled_guards,
+    compiled_guards_lowered,
     compiled_phi,
     compiled_secret_exclude,
 )
@@ -92,6 +94,8 @@ def detect(text: str, include_person: bool = False) -> list[Match]:
         for value, start, end, _score in detect_person(text):
             out.append((PERSON_CATEGORY_INDEX, PERSON_ENTITY, start, end, value))
     exclude = compiled_secret_exclude()
+    guards = compiled_guards()
+    guards_low = compiled_guards_lowered()
     for idx, (spec, rx) in enumerate(compiled_battery()):
         if spec.needs_digit and not has_digit:
             continue
@@ -100,6 +104,12 @@ def detect(text: str, include_person: bool = False) -> list[Match]:
         if spec.guards_all and not all(g in lowered for g in spec.guards_all):
             continue
         if spec.guards and not any(g in lowered for g in spec.guards):
+            continue
+        g = guards[idx]
+        if g is not None and g.search(text) is None:
+            continue
+        g = guards_low[idx]
+        if g is not None and g.search(lowered) is None:
             continue
         is_cred = spec.kind == "credential"
         for m in rx.finditer(text):

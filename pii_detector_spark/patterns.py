@@ -47,6 +47,19 @@ class PatternSpec:
     # skip unless the text contains a digit OR an uppercase letter (for
     # patterns like US_DRIVER_LICENSE whose alternatives all need one)
     needs_digit_or_upper: bool = False
+    # regex-valued guard: a cheap necessary-condition pattern (one with a
+    # small first-character skip set, so the re engine can scan at C speed)
+    # whose absence proves the expensive battery pattern cannot match.
+    # Soundness (guard is implied by every possible match) is pinned by
+    # tests/test_scrub.py::test_guard_rx_soundness against the guard-free
+    # oracle on adversarial near-miss corpora. Empty = no regex guard.
+    guard_rx: str = ""
+    # like guard_rx, but searched against text.lower() (which detect()
+    # already computes for the substring guards) — lets a guard for a
+    # case-insensitive pattern drop the (?i) flag, restoring the re
+    # engine's literal-prefix skip optimization. Quantifiers must allow
+    # for lower()'s rare one-to-many expansions (e.g. U+0130 -> 2 chars).
+    guard_rx_lowered: str = ""
 
 
 # --- 13 PII patterns (reference regex_patterns.py:5-52, order :196-212) ----
@@ -255,6 +268,16 @@ _CREDENTIALS: list[PatternSpec] = [
             "tenant", "secret", "api", "pwd", "username", "pass",
         ),
         guards_all=("=",),
+        # necessary condition: every alternative above is keyword +
+        # (lazy gap of <=20 non-newline chars) + \s* + '='. The caseless
+        # form scanned over text.lower() keeps the engine's alternation
+        # first-char skip ([cspualtd]); the gap is widened to {0,60} to
+        # absorb lower()'s rare one-to-many char expansions.
+        guard_rx_lowered=(
+            r"(?:cognitive|service_?bus|project|private|client|user|account"
+            r"|login|sha|auth|token|tenant|secret|api|pwd|username"
+            r"|database_?pass|db_?pass).{0,60}\s*="
+        ),
     ),
     PatternSpec(
         "OPENAI_KEY",
@@ -282,6 +305,14 @@ _CREDENTIALS: list[PatternSpec] = [
         r")\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])|([0-9a-fA-F]{1,4}:){1,4}:((25[0-5]|(2[0-4]|1{0,1}[0-9])"
         r"{0,1}[0-9])\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9]))\b)",
         "credential",
+        # necessary condition, branch by branch: every IPv4 form contains
+        # digit.digits.digits.digit; every IPv6 alternative contains "::"
+        # (single-group or compressed forms) or hex:hex (>=2 full groups),
+        # except the zone-id form whose fixed literal is "fe80:". The guard
+        # has first-char set [0-9a-fA-F:] so the scan skips plain prose at
+        # C speed — the full alternation above costs ~150 us/doc and fires
+        # on <2% of web docs.
+        guard_rx=r"\d\.\d{1,3}\.\d{1,3}\.\d|::|[0-9a-fA-F]:[0-9a-fA-F]|fe80:",
     ),
     PatternSpec(
         "INSURANCE_INFORMATION",
@@ -321,6 +352,27 @@ PHI_PATTERN = (
 def compiled_battery() -> tuple[tuple[PatternSpec, "re.Pattern[str]"], ...]:
     """Compile the battery once per process (≈ once per Spark executor)."""
     return tuple((spec, re.compile(spec.regex)) for spec in ALL_PATTERNS)
+
+
+@lru_cache(maxsize=1)
+def compiled_guards() -> tuple["re.Pattern[str] | None", ...]:
+    """Per-pattern compiled ``guard_rx`` (None where unset), aligned with
+    ``compiled_battery()`` by index."""
+    return tuple(
+        re.compile(spec.guard_rx) if spec.guard_rx else None
+        for spec in ALL_PATTERNS
+    )
+
+
+@lru_cache(maxsize=1)
+def compiled_guards_lowered() -> tuple["re.Pattern[str] | None", ...]:
+    """Per-pattern compiled ``guard_rx_lowered`` (None where unset),
+    aligned with ``compiled_battery()`` by index; search these against
+    ``text.lower()``."""
+    return tuple(
+        re.compile(spec.guard_rx_lowered) if spec.guard_rx_lowered else None
+        for spec in ALL_PATTERNS
+    )
 
 
 @lru_cache(maxsize=1)

@@ -235,3 +235,102 @@ def test_property_planted_lines(lines):
     doc = " ".join(lines)
     assert _norm(detect(doc)) == _norm(oracle_detect(doc))
     assert scrub_text(doc) == oracle_scrub(doc)[0]
+
+
+# Every IPv6 alternation branch of the battery pattern, plus near-miss and
+# hostile-soup forms: the guard_rx doc-level gate (patterns.PatternSpec.
+# guard_rx) must never suppress a match the guard-free oracle finds.
+_GUARD_ADVERSARIAL = [
+    "1:2:3:4:5:6:7:8",                       # full 8-group
+    "1::",                                    # compressed tail
+    "1::8", "1:2::8",                        # single/multi group + tail
+    "1:2:3:4:5::7:8",                        # 5 groups + 2
+    "1:2:3:4::6:7:8",
+    "1:2:3::5:6:7:8",
+    "1:2::4:5:6:7:8",
+    "1::3:4:5:6:7:8",
+    "::2:3:4:5:6:7:8", "::",                 # leading compress / bare
+    "fe80::7:8%eth0", "fe80:%1",             # zone-id forms
+    "::255.255.255.255", "::ffff:10.0.0.1",  # v4-mapped
+    "2001:db8:3:4::192.0.2.33",              # groups + v4 tail
+    "192.168.0.1 plain v4", "0.0.0.0", "255.255.255.255",
+    "1.2.3.4.5 overlong", "999.999.999.999 out of range",
+    "deadbeef:cafe words that are hex", "face:b00c",
+    "a:b c:d e:f",                           # single-hex pairs
+    "time 12:30 and 4:5",                    # clock-ish
+    "1.2 version, 3.4.5 semver, 1.2.3.4",
+    "::ffff:0:255.255.255.255",
+    "no address here at all",
+]
+
+
+def test_guard_rx_soundness_adversarial():
+    for doc in _GUARD_ADVERSARIAL:
+        assert _norm(detect(doc)) == _norm(oracle_detect(doc)), doc
+    joined = "  ".join(_GUARD_ADVERSARIAL)
+    assert _norm(detect(joined)) == _norm(oracle_detect(joined))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="0123456789abcdefABCDEF:.%x ", max_size=60))
+def test_guard_rx_soundness_fuzz(text):
+    # hex/colon/dot soup is exactly the space where an unsound IP guard
+    # would diverge from the guard-free oracle
+    assert _norm(detect(text)) == _norm(oracle_detect(text))
+
+
+def test_guard_rx_declared_patterns_still_fire():
+    # the guarded pattern still matches when a real address is present
+    names4 = {m[1] for m in detect("server at 10.1.2.3 port 80")}
+    names6 = {m[1] for m in detect("peer 2001:db8::ff00:42:8329 up")}
+    assert "IP_ADDRESSES" in names4
+    assert "IP_ADDRESSES" in names6
+
+
+# Branch-by-branch positives + near-misses for the PRIVATE_CREDENTIALS
+# lowered-guard (guard_rx_lowered): the guard must pass every string the
+# full pattern matches, including odd spacing, newline-spanning \s*, and
+# uppercase keywords.
+_PC_ADVERSARIAL = [
+    "cognitive services key = abcdefghij0123456789abcdefghij12",
+    "SERVICE_BUS_SAS_KEY=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+    "servicebussaskey = AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+    "project config id = my-project-id9",
+    "private rsa part = QUJDREVGR0g",
+    "client contact here = someone@example.com",
+    "USER primary address = person@host.org",
+    "account main card = 412345678901234567890",
+    "sha of build  =  0123abcd",
+    "sha =",                                     # empty value branch
+    "auth redirect = https://accounts.google.com/o/oauth2/auth?x=1",
+    "token endpoint = https://oauth2.googleapis.com/token?y=2",
+    "client_x509_cert_url = https://www.googleapis.com/robot/v1",
+    "tenant primary = abc123",
+    " secret_token = topsecret",
+    " api_key = k3yv4lu3",
+    " pwd = hunter22",
+    " username = jdoe42",
+    " database_password = passw0rd!",
+    " db_pass = shortpw1",
+    "keyword far from equals sign" + " x" * 30 + " = value",  # gap > 20
+    "tenant primary such that the gap exceeds twenty characters = abc123",
+    "no assignment operator at all tenant abc123",
+    "= tenant abc123 reversed order",
+    "USER name\n\t = person@host.org",            # \s* spans newline
+]
+
+
+def test_pc_guard_soundness_adversarial():
+    for doc in _PC_ADVERSARIAL:
+        assert _norm(detect(doc)) == _norm(oracle_detect(doc)), doc
+    joined = "\n".join(_PC_ADVERSARIAL)
+    assert _norm(detect(joined)) == _norm(oracle_detect(joined))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["user", "TOKEN", "secret", "api", "pwd", "tenant", "sha", "=", " = ",
+     "a@b.co", "x" * 25, " ", "\n", "\t", "value123"]), min_size=1, max_size=10))
+def test_pc_guard_soundness_fuzz(parts):
+    doc = "".join(parts)
+    assert _norm(detect(doc)) == _norm(oracle_detect(doc))
