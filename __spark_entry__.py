@@ -1295,6 +1295,48 @@ def q_word_ppl_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_fluency_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid + word-perplexity planted oracles, one tagged entry in a
+    common (doc_id, pred) shape (registry consolidation; both sub-queries
+    keep their full cross-engine checks)."""
+    lang = q_langid_planted(spark, sf_dir).select(
+        "doc_id", F.col("lang_pred").alias("pred")
+    )
+    ppl = q_word_ppl_planted(spark, sf_dir).select(
+        "doc_id", F.col("is_fluent").cast("string").alias("pred")
+    )
+    return _tagged_union({"langid": lang, "word_ppl": ppl})
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classifier (the CCNet/GPT-3 fastText-classifier
+    analogue): multinomial Naive Bayes trained with one distributed word
+    count, scored via a broadcast weight join. Labels are planted as a
+    pure function of doc_id (even = curated, odd = crawl) with one marker
+    token appended per class, so DuckDB retrains the identical model in
+    SQL: integer micro-nat weights make the distributed sum exact and
+    order-independent, hence hash-identical across engines."""
+    from pii_detector_spark.operators.nbquality import score_nb, train_nb
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    marked = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("label"),
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("curatedmark")).otherwise(
+                F.lit("crawlmark")
+            ),
+        ).alias("text"),
+    )
+    model = train_nb(marked)
+    out = score_nb(marked, model)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "nb_score_fp", "nb_keep"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -1718,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,  # warm-up: pays session init
         # --- newest / least-driver-verified first ---
+        "nb_quality": q_nb_quality,
         "window_running_budget": q_window_running_budget,
         "events_rollup": q_events_rollup,
         "extract_file_texts": q_extract_file_texts,
@@ -1751,8 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "quality_keep": q_quality_keep,
         "langid_documents": q_langid_documents,
-        "langid_planted": q_langid_planted,
-        "word_ppl_planted": q_word_ppl_planted,
+        "lang_fluency_planted": q_lang_fluency_planted,
         "scrub_documents": q_scrub_documents,
         "explode_archives": q_explode_archives,
         "filename_classifiers": q_filename_classifiers,
@@ -2913,16 +2955,76 @@ f AS (
 SELECT doc_id::BIGINT AS media_id, i::BIGINT AS frame_idx,
        least(1024, nb - i * 1024)::BIGINT AS n_frame_bytes
 FROM f""",
-        # langid_documents: Python model artifacts — rows-only by design;
-        # langid_planted carries the full cross-engine check instead
-        "langid_planted": """
-SELECT doc_id::BIGINT AS doc_id,
-       list_extract(['de','en','es','fr','ru'], 1 + doc_id % 5) AS lang_pred
-FROM documents""",
-        "word_ppl_planted": """
-SELECT doc_id::BIGINT AS doc_id, (doc_id % 5 = 1) AS is_fluent
-FROM documents""",
+        # Naive-Bayes quality classifier: DuckDB retrains the identical
+        # model (same planted labels/markers, same add-one smoothing, same
+        # fixed-point micro-nat weights) and rescores every document; the
+        # BIGINT weight sums are exact in any order, so values hash-match
+        # the distributed Spark computation bit for bit.
+        "nb_quality": """
+WITH base AS (
+  SELECT doc_id,
+         text || ' ' || CASE WHEN doc_id % 2 = 0
+                             THEN 'curatedmark' ELSE 'crawlmark' END AS text,
+         (doc_id % 2 = 0) AS lab
+  FROM documents
+),
+toks AS (
+  SELECT lab, unnest(string_split(text, ' ')) AS tok FROM base
+),
+counts AS (
+  SELECT tok,
+         SUM(CASE WHEN lab THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         SUM(CASE WHEN NOT lab THEN 1 ELSE 0 END)::BIGINT AS c_neg
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+tot AS (
+  SELECT SUM(c_pos)::BIGINT AS t_pos, SUM(c_neg)::BIGINT AS t_neg,
+         COUNT(*)::BIGINT AS v
+  FROM counts
+),
+nd AS (
+  SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS np,
+         SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS nn
+  FROM documents
+),
+weights AS (
+  SELECT tok,
+         round((ln((c_pos + 1)::DOUBLE / (t_pos + v)::DOUBLE)
+              - ln((c_neg + 1)::DOUBLE / (t_neg + v)::DOUBLE))
+               * 1000000, 0)::BIGINT AS w_fp
+  FROM counts, tot
+),
+consts AS (
+  SELECT round((ln(1.0 / (t_pos + v)::DOUBLE)
+              - ln(1.0 / (t_neg + v)::DOUBLE)) * 1000000, 0)::BIGINT AS dflt,
+         round(ln(np::DOUBLE / nn::DOUBLE) * 1000000, 0)::BIGINT AS bias
+  FROM tot, nd
+),
+doctoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM base
+),
+scored AS (
+  SELECT d.doc_id, SUM(COALESCE(w.w_fp, c.dflt))::BIGINT AS tok_sum
+  FROM (SELECT * FROM doctoks WHERE tok <> '') d
+  LEFT JOIN weights w USING (tok), consts c
+  GROUP BY d.doc_id
+)
+SELECT b.doc_id::BIGINT AS doc_id,
+       (COALESCE(s.tok_sum, 0) + c.bias)::BIGINT AS nb_score_fp,
+       (COALESCE(s.tok_sum, 0) + c.bias) >= 0 AS nb_keep
+FROM base b LEFT JOIN scored s USING (doc_id), consts c""",
     }
+    # langid_documents: Python model artifacts — rows-only by design;
+    # lang_fluency_planted carries the full cross-engine check instead
+    base["lang_fluency_planted"] = _tagged_union_sql({
+        "langid": """
+SELECT doc_id::BIGINT AS doc_id,
+       list_extract(['de','en','es','fr','ru'], 1 + doc_id % 5) AS pred
+FROM documents""",
+        "word_ppl": """
+SELECT doc_id::BIGINT AS doc_id, (doc_id % 5 = 1)::VARCHAR AS pred
+FROM documents""",
+    })
     # registry consolidation (mirrors queries()): merged tagged-union
     # entries replace their members — identical SQL, identical coverage
     base["extract_file_texts"] = "\nUNION ALL\n".join(

@@ -52,7 +52,8 @@ HEADLINE_QUERIES = (
     "repetition_metrics",
     "dedup_clusters",
     "extract_file_texts",  # r5: consolidated pdf/office/csv/legacy entry
-    "word_ppl_planted",
+    "lang_fluency_planted",  # r5: langid + word-trigram perplexity union
+    "nb_quality",          # r5: trained Naive-Bayes quality classifier
     "minhash_delta",   # r4: incremental dedup parity path
     "image_features",  # r4/r5: real PNG + GIF decode through the seam
     "wav_features",    # r4: real WAV (PCM) decode through the same seam
