@@ -69,6 +69,12 @@ def main() -> None:
                          "'shards' table (url, n_tokens, cum_tokens, "
                          "shard_id) over kept docs via the distributed "
                          "prefix sum")
+    ap.add_argument("--nb-labels", default=None,
+                    help="parquet of labeled docs (label boolean, text "
+                         "string): trains the Naive-Bayes quality "
+                         "classifier on it and scores kept docs via the "
+                         "zero-shuffle broadcast path, writing an "
+                         "'nb_scores' table (url, nb_score_fp, nb_keep)")
     args = ap.parse_args()
 
     # session comes from spark-submit conf; only engine-required settings here
@@ -151,6 +157,28 @@ def main() -> None:
                 os.path.join(args.output, "docs_capped")
             )
             kept = capped
+    if args.nb_labels:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.nbquality import (
+            score_nb_broadcast,
+            train_nb,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        labeled = spark.read.parquet(args.nb_labels)
+        model = train_nb(labeled)
+        kept_docs = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select("url", F.col("scrubbed_text").alias("text"))
+        )
+        scored = score_nb_broadcast(kept_docs, model, id_col="url")
+        scored.write.mode("overwrite").parquet(
+            os.path.join(args.output, "nb_scores")
+        )
     if args.pack_budget:
         shards = pack_documents_by_url(
             kept.select("url", F.col("n_words").alias("n_tokens")),

@@ -930,6 +930,16 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
     pq_.write_table(
         _delta_tbl(["bench://1"], [keep_text]), str(bench_dir / "b.parquet")
     )
+    labels_dir = tmp_path_factory.mktemp("cli_labels")
+    import pyarrow as pa_
+
+    pq_.write_table(
+        pa_.table({
+            "label": [True, True, False, False],
+            "text": [keep_text, keep_text + " bridge", other, other + " fox"],
+        }),
+        str(labels_dir / "l.parquet"),
+    )
     out = str(tmp_path_factory.mktemp("cli_out"))
 
     import jobs.run_quality_filter as job
@@ -944,6 +954,7 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
         "--decontaminate-ngram", "5",
         "--pack-budget", "100",
         "--host-cap", "10", "--host-cap-exact",
+        "--nb-labels", str(labels_dir / "l.parquet"),
     ])
     # the job builds its own session via getOrCreate -> reuses the test one
     monkeypatch.setattr(
@@ -962,6 +973,15 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
 
     capped = spark.read.parquet(_os.path.join(out, "docs_capped"))
     assert capped.count() == capped.select("url").distinct().count()
+
+    nb = {
+        r["url"]: r["nb_keep"]
+        for r in spark.read.parquet(_os.path.join(out, "nb_scores")).collect()
+    }
+    # classifier trained on keep_text-as-positive keeps the river docs
+    # and rejects the fox docs among whatever the rule gates kept
+    for u, keep in nb.items():
+        assert keep is (urls.index(u) % 2 == 0)
 
     shards = spark.read.parquet(_os.path.join(out, "shards")).collect()
     kept_urls = {
