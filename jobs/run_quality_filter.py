@@ -69,6 +69,11 @@ def main() -> None:
                          "'shards' table (url, n_tokens, cum_tokens, "
                          "shard_id) over kept docs via the distributed "
                          "prefix sum")
+    ap.add_argument("--heartbeat", type=float, default=None, metavar="SECS",
+                    help="append a liveness row to <output>/heartbeat every "
+                         "SECS seconds (driver-side, out-of-band); a "
+                         "monitor treats a stale newest beat as a dead "
+                         "instance (K5)")
     ap.add_argument("--nb-labels", default=None,
                     help="parquet of labeled docs (label boolean, text "
                          "string): trains the Naive-Bayes quality "
@@ -98,6 +103,7 @@ def main() -> None:
         dedup_near=args.dedup_near,
         dedup_delta=args.dedup_delta,
         dedup_max_iter=args.dedup_max_iter,
+        heartbeat_interval_s=args.heartbeat,
     )
     if args.decontaminate_against:
         import os

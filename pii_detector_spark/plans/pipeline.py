@@ -619,6 +619,45 @@ def run_pipeline(
     dedup_near: bool = False,
     dedup_delta: bool = False,
     dedup_max_iter: int = 50,
+    heartbeat_interval_s: float | None = None,
+) -> PipelineResult:
+    """``_run_pipeline_impl`` plus the K5 instance heartbeat: when
+    ``heartbeat_interval_s`` is set, a driver-side thread appends liveness
+    rows to ``<output_dir>/heartbeat`` for the duration of the run
+    (``plans/heartbeat.py``; reference analogue ``customer_worker.py:
+    92-100``). The final ``alive=false`` row is written even when the run
+    raises — a monitor distinguishes crash (stale beat / no clean row +
+    missing ``_commits`` marker) from completion."""
+    kwargs = dict(
+        config=config,
+        run_id=run_id,
+        resume=resume,
+        extract_html=extract_html,
+        gc_deleted=gc_deleted,
+        dedup_near=dedup_near,
+        dedup_delta=dedup_delta,
+        dedup_max_iter=dedup_max_iter,
+    )
+    if heartbeat_interval_s is None:
+        return _run_pipeline_impl(spark, input_path, output_dir, **kwargs)
+    from pii_detector_spark.plans.heartbeat import Heartbeat
+
+    with Heartbeat(spark, output_dir, run_id, heartbeat_interval_s):
+        return _run_pipeline_impl(spark, input_path, output_dir, **kwargs)
+
+
+def _run_pipeline_impl(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    run_id: str = "run-0",
+    resume: bool = True,
+    extract_html: bool = True,
+    gc_deleted: bool = False,
+    dedup_near: bool = False,
+    dedup_delta: bool = False,
+    dedup_max_iter: int = 50,
 ) -> PipelineResult:
     """Batch scan job with checkpoint-resume; rerunning after a partial or
     complete prior run processes only not-yet-SCANNED urls (idempotent).
