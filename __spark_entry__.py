@@ -242,16 +242,48 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/F10 deterministic sampling: hash-threshold sample (1/16) — the
-    engine-portable replacement for the reference's random 20-object
-    sampling (base_scan_service.py:193-231)."""
+    """L2/F10 deterministic sampling, one tagged entry: the flat
+    hash-threshold sample (1/16 of orders — the engine-portable
+    replacement for the reference's random 20-object sampling,
+    base_scan_service.py:193-231) plus the r5 quality-bucket stratified
+    sample (``operators/sampling.stratified_sample``: per-bucket md5-hex
+    thresholds, zero shuffle, zero Python; val encodes bucket*2+sampled so
+    the oracle checks the exact draw row for row)."""
     o = _t(spark, sf_dir, "orders")
-    return o.filter(
+    orders = o.filter(
         F.md5(F.col("o_orderkey").cast("string")) < F.lit("1")
     ).select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_orderkey").cast("long").alias("row_key"),
+        F.round("o_totalprice", 2).alias("val"),
     )
+
+    from pii_detector_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length("text") < 250, F.lit("short"))
+        .when(F.length("text") < 400, F.lit("mid"))
+        .otherwise(F.lit("long"))
+        .alias("bucket"),
+    )
+    s = stratified_sample(
+        d,
+        "bucket",
+        {"short": 1.0, "mid": 0.25, "long": 0.0625},
+        key_col="doc_id",
+    )
+    bucket_id = (
+        F.when(F.col("bucket") == "short", 0)
+        .when(F.col("bucket") == "mid", 1)
+        .otherwise(2)
+    )
+    strat = s.select(
+        F.col("doc_id").cast("long").alias("row_key"),
+        (bucket_id * 2 + F.col("sampled").cast("int"))
+        .cast("double")
+        .alias("val"),
+    )
+    return _tagged_union({"orders": orders, "stratified": strat})
 
 
 def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2431,8 +2463,22 @@ SELECT COALESCE(old.pk, new.pk)::BIGINT AS pk,
             ELSE 'unchanged' END AS status
 FROM old FULL OUTER JOIN new ON old.pk = new.pk""",
         "hash_sample": """
-SELECT o_orderkey::BIGINT AS o_orderkey, round(o_totalprice, 2) AS o_totalprice
-FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1'""",
+SELECT 'orders' AS case_tag, o_orderkey::BIGINT AS row_key,
+       round(o_totalprice, 2) AS val
+FROM orders WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1'
+UNION ALL
+SELECT 'stratified', doc_id::BIGINT,
+       (CASE bucket WHEN 'short' THEN 0 WHEN 'mid' THEN 1 ELSE 2 END * 2
+        + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                    CASE bucket WHEN 'short' THEN 'g'
+                                WHEN 'mid' THEN '40000000'
+                                ELSE '10000000' END
+               THEN 1 ELSE 0 END)::DOUBLE
+FROM (SELECT doc_id,
+             CASE WHEN length(text) < 250 THEN 'short'
+                  WHEN length(text) < 400 THEN 'mid'
+                  ELSE 'long' END AS bucket
+      FROM documents) t""",
         "url_prefilters": r"""
 WITH u AS (
   SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
