@@ -287,8 +287,27 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2 object pre-filters: extension blocklist + log-path exclusion,
-    pushed into the scan as plain predicates."""
+    """Tagged union of the url-level operators (single `url` column):
+
+    - ``prefilters``: F1/F2 object pre-filters (extension blocklist +
+      log-path exclusion) pushed into the scan as plain predicates;
+    - ``canonical``: url canonicalization (operators/urls.py) over an
+      adversarial branch-constructed corpus — scheme/host case, default
+      ports, ``www.``, duplicate/trailing slashes, tracking params,
+      query sort, fragments, schemeless passthrough — oracle side is
+      CLOSED-FORM expected strings per branch (independent of the regex
+      chain);
+    - ``kept``: canonical-url dedup (keep latest ``warc_ts`` capture per
+      canonical family) returning the surviving original urls.
+    """
+    return _tagged_union({
+        "prefilters": _q_url_prefilters_part(spark, sf_dir),
+        "canonical": _q_url_canonical_part(spark, sf_dir),
+        "kept": _q_url_kept_part(spark, sf_dir),
+    })
+
+
+def _q_url_prefilters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_detector_spark.sources.web_pages import apply_prefilters
 
     d = _t(spark, sf_dir, "documents")
@@ -309,6 +328,43 @@ def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
     )
     return apply_prefilters(web).select("url")
+
+
+def _q_url_canonical_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_detector_spark.operators.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 8
+    raw = (
+        F.when(b == 0, F.concat(F.lit("https://WWW.Ex"), k,
+                                F.lit(".COM:443/a//b/?utm_source=x&b=2&a=1#f")))
+        .when(b == 1, F.concat(F.lit("http://www.ex"), k, F.lit(".com:80/a/b")))
+        .when(b == 2, F.concat(F.lit("https://ex"), k, F.lit(".com")))
+        .when(b == 3, F.concat(F.lit("https://ex"), k,
+                               F.lit(".com/p?gclid=1&z=9&y=8&utm_campaign=c")))
+        .when(b == 4, F.concat(F.lit("ftp://Ex"), k, F.lit(".com/X/")))
+        .when(b == 5, F.concat(F.lit("ex"), k, F.lit(".com/no-scheme#frag")))
+        .when(b == 6, F.concat(F.lit("https://ex"), k,
+                               F.lit(".com:8443/q/?fbclid=abc")))
+        .otherwise(F.concat(F.lit("https://ex"), k,
+                            F.lit(".com/a//d/?a=1&A=2&_ga=x")))
+    )
+    return d.select(canonicalize_url(raw).alias("url"))
+
+
+def _q_url_kept_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_detector_spark.operators.urls import keep_latest_per_canonical
+
+    d = _t(spark, sf_dir, "documents")
+    web = d.select(
+        F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".com/p?utm_x="), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+    )
+    return keep_latest_per_canonical(web).select("url")
 
 
 def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,6 +1767,30 @@ def q_extract_file_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_extract_office_text(spark, sf_dir))
         .unionByName(q_extract_csv_text(spark, sf_dir))
         .unionByName(q_extract_legacy_text(spark, sf_dir))
+        .unionByName(_q_fix_text_part(spark, sf_dir))
+    )
+
+
+def _q_fix_text_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair + unicode normalization (operators/textfix) over a
+    planted damage corpus; the oracle side carries the CLOSED-FORM
+    repaired literals per branch."""
+    from pii_detector_spark.operators.textfix import fix_text_column
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    b = F.col("doc_id") % 6
+    damaged = (
+        F.when(b == 0, F.concat(F.lit("cafÃ© au lait "), k))
+        .when(b == 1, F.concat(F.lit("cafÃƒÂ© "), k))
+        .when(b == 2, F.concat(F.lit("e\u0301clair "), k))
+        .when(b == 3, F.concat(F.lit("a\r\nb\rc\x00d\u200b "), k))
+        .when(b == 4, F.concat(F.lit("plain "), k))
+        .otherwise(F.concat(F.lit("xâ€œy "), k))
+    )
+    return d.select(
+        F.concat(F.lit("https://fix.example.com/"), k).alias("url"),
+        fix_text_column(damaged).alias("text"),
     )
 
 
@@ -2479,7 +2559,8 @@ FROM (SELECT doc_id,
                   WHEN length(text) < 400 THEN 'mid'
                   ELSE 'long' END AS bucket
       FROM documents) t""",
-        "url_prefilters": r"""
+        "url_prefilters": _tagged_union_sql({
+            "prefilters": r"""
 WITH u AS (
   SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
          || CASE WHEN doc_id % 37 = 0 THEN '.png'
@@ -2491,6 +2572,32 @@ WITH u AS (
 SELECT url FROM u
 WHERE NOT regexp_matches(url, '(?i)\.(png|jpe?g|gif|bmp|tiff?|ico|svg|webp|mp3|wav|ogg|flac|mp4|avi|mov|mkv|webm|zip|tar|gz|bz2|rar|7z|exe|dll|so|bin)$')
   AND NOT regexp_matches(url, '(?i)(vpcflowlogs|CloudTrail|-log)')""",
+            # closed-form expected canonical string per construction
+            # branch — independent of the engine's regex chain
+            "canonical": """
+SELECT CASE doc_id % 8
+  WHEN 0 THEN 'https://ex' || doc_id::VARCHAR || '.com/a/b?a=1&b=2'
+  WHEN 1 THEN 'http://ex' || doc_id::VARCHAR || '.com/a/b'
+  WHEN 2 THEN 'https://ex' || doc_id::VARCHAR || '.com/'
+  WHEN 3 THEN 'https://ex' || doc_id::VARCHAR || '.com/p?y=8&z=9'
+  WHEN 4 THEN 'ftp://ex' || doc_id::VARCHAR || '.com/X'
+  WHEN 5 THEN 'ex' || doc_id::VARCHAR || '.com/no-scheme'
+  WHEN 6 THEN 'https://ex' || doc_id::VARCHAR || '.com:8443/q'
+  ELSE 'https://ex' || doc_id::VARCHAR || '.com/a/d?A=2&a=1'
+END AS url
+FROM documents""",
+            # latest capture per canonical family: by construction the
+            # family is doc_id % 50 and warc_ts grows with doc_id, so
+            # the survivor of each family is its max doc_id
+            "kept": """
+WITH g AS (
+  SELECT doc_id % 50 AS fam, max(doc_id) AS kept_id
+  FROM documents GROUP BY 1
+)
+SELECT 'https://www.site' || fam::VARCHAR || '.com/p?utm_x='
+       || kept_id::VARCHAR AS url
+FROM g""",
+        }),
         "exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,
        count(*)::BIGINT AS dup_count
@@ -3073,11 +3180,24 @@ FROM documents""",
     })
     # registry consolidation (mirrors queries()): merged tagged-union
     # entries replace their members — identical SQL, identical coverage
+    # closed-form repaired literals per damage branch (operators/textfix):
+    # mojibake rounds, NFC, newline canon, control/zero-width strip
+    base["fix_text"] = """
+SELECT 'https://fix.example.com/' || doc_id::VARCHAR AS url,
+       CASE doc_id % 6
+         WHEN 0 THEN 'café au lait '
+         WHEN 1 THEN 'café '
+         WHEN 2 THEN 'éclair '
+         WHEN 3 THEN 'a' || chr(10) || 'b' || chr(10) || 'cd '
+         WHEN 4 THEN 'plain '
+         ELSE 'x' || chr(8220) || 'y '
+       END || doc_id::VARCHAR AS text
+FROM documents"""
     base["extract_file_texts"] = "\nUNION ALL\n".join(
         f"SELECT * FROM ({base.pop(n).strip()}) x_{i}"
         for i, n in enumerate(
             ("extract_pdf_text", "extract_office_text",
-             "extract_csv_text", "extract_legacy_text")
+             "extract_csv_text", "extract_legacy_text", "fix_text")
         )
     )
     base["image_features"] = _tagged_union_sql({

@@ -69,11 +69,32 @@ def main() -> None:
                          "'shards' table (url, n_tokens, cum_tokens, "
                          "shard_id) over kept docs via the distributed "
                          "prefix sum")
+    ap.add_argument("--pack-materialize", action="store_true",
+                    help="with --pack-budget: also write the physical "
+                         "shard_data table (doc rows partitioned by "
+                         "shard_id, one directory per training shard) "
+                         "and its shard_manifest index (n_docs/n_tokens/"
+                         "n_chars per shard), both crash-safe swapped")
     ap.add_argument("--heartbeat", type=float, default=None, metavar="SECS",
                     help="append a liveness row to <output>/heartbeat every "
                          "SECS seconds (driver-side, out-of-band); a "
                          "monitor treats a stale newest beat as a dead "
                          "instance (K5)")
+    ap.add_argument("--canonical-dedup", action="store_true",
+                    help="BEFORE scanning, collapse url families to one "
+                         "capture each: canonicalize urls (tracking "
+                         "params, default ports, www/fragment/slash, "
+                         "query order) and keep the latest warc_ts per "
+                         "canonical url; the deduped input (+ its "
+                         "canonical_url column) is materialized at "
+                         "<output>/input_canonical and scanned instead "
+                         "of --input")
+    ap.add_argument("--fix-text", action="store_true",
+                    help="after the run, write a docs_fixed table (url, "
+                         "text_fixed): mojibake repair + NFC/newline/"
+                         "control normalization over kept docs' scrubbed "
+                         "text. Opt-in because the primary docs table "
+                         "keeps the byte-identical extraction contract")
     ap.add_argument("--nb-labels", default=None,
                     help="parquet of labeled docs (label boolean, text "
                          "string): trains the Naive-Bayes quality "
@@ -92,9 +113,23 @@ def main() -> None:
 
     from pii_detector_spark.plans.pipeline import run_pipeline
 
+    input_path = args.input
+    if args.canonical_dedup:
+        import os
+
+        from pii_detector_spark.operators.urls import (
+            keep_latest_per_canonical,
+        )
+
+        deduped = keep_latest_per_canonical(
+            spark.read.parquet(args.input)
+        )
+        input_path = os.path.join(args.output, "input_canonical")
+        deduped.write.mode("overwrite").parquet(input_path)
+
     res = run_pipeline(
         spark,
-        args.input,
+        input_path,
         args.output,
         run_id=args.run_id,
         resume=not args.no_resume,
@@ -185,6 +220,25 @@ def main() -> None:
         scored.write.mode("overwrite").parquet(
             os.path.join(args.output, "nb_scores")
         )
+    if args.fix_text:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.textfix import fix_text_column
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        fixed = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select(
+                "url",
+                fix_text_column(F.col("scrubbed_text")).alias("text_fixed"),
+            )
+        )
+        fixed.write.mode("overwrite").parquet(
+            os.path.join(args.output, "docs_fixed")
+        )
     if args.pack_budget:
         shards = pack_documents_by_url(
             kept.select("url", F.col("n_words").alias("n_tokens")),
@@ -193,6 +247,16 @@ def main() -> None:
         shards.write.mode("overwrite").parquet(
             os.path.join(args.output, "shards")
         )
+        if args.pack_materialize:
+            from pii_detector_spark.operators.packing import (
+                write_packed_shards,
+            )
+
+            write_packed_shards(
+                kept.withColumn("n_tokens", F.col("n_words")),
+                args.pack_budget,
+                args.output,
+            )
 
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "

@@ -142,3 +142,71 @@ def pack_documents_by_url(
         order_col="_ord",
     )
     return out.drop("_ord")
+
+
+
+def write_packed_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    out_dir: str,
+    url_col: str = "url",
+    count_col: str = "n_tokens",
+) -> "tuple[str, str]":
+    """Materialize the packing: ``<out_dir>/shard_data`` (doc rows,
+    ``partitionBy(shard_id)`` so a loader reads one shard as one
+    directory) and ``<out_dir>/shard_manifest`` (shard_id, n_docs,
+    n_tokens, n_chars — the loader's index).  Returns both paths.
+
+    The assignment runs over the two packing columns only (the prefix
+    sum never shuffles text); doc payloads join back on ``url_col`` —
+    one hash shuffle, then the shard_id clustering for the partitioned
+    write.  The manifest is computed FROM the written table, so it
+    always describes what is actually on disk.  Both tables are written
+    aside and atomically swapped in (same crash discipline as the
+    pipeline's derived tables: an interrupted rewrite leaves the
+    previous version readable).
+
+    Size ``budget_tokens`` for shard counts in the thousands-to-100k
+    range at the target corpus (each shard is one output directory;
+    millions of partition dirs would stress the file listing, not
+    Spark).
+    """
+    import os
+
+    from pii_detector_spark.plans.pipeline import _swap_in
+
+    assigned = pack_documents_by_url(
+        docs.select(url_col, count_col), budget_tokens,
+        url_col=url_col, count_col=count_col,
+    )
+    extra_cols = [c for c in docs.columns if c not in (url_col, count_col)]
+    full = (
+        assigned.join(docs.select(url_col, *extra_cols), on=url_col)
+        if extra_cols
+        else assigned
+    )
+
+    data_path = os.path.join(out_dir, "shard_data")
+    tmp = data_path + "_tmp"
+    (
+        full.repartition(F.col("shard_id"))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    )
+    _swap_in(data_path, tmp)
+
+    written = docs.sparkSession.read.parquet(data_path)
+    text_cols = [c for c in ("scrubbed_text", "text") if c in written.columns]
+    nchar = (
+        F.sum(F.length(F.col(text_cols[0]))) if text_cols
+        else F.lit(None)
+    )
+    manifest = written.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(count_col).cast("long").alias("n_tokens"),
+        nchar.cast("long").alias("n_chars"),
+    )
+    man_path = os.path.join(out_dir, "shard_manifest")
+    tmp2 = man_path + "_tmp"
+    manifest.write.mode("overwrite").parquet(tmp2)
+    _swap_in(man_path, tmp2)
+    return data_path, man_path

@@ -74,3 +74,65 @@ def test_empty_and_single_row(spark):
     one = spark.createDataFrame([(7, 42)], "doc_id long, n_tokens long")
     row = pack_documents(one, 100).collect()[0]
     assert (row["cum_tokens"], row["shard_id"]) == (42, 0)
+
+
+def test_write_packed_shards_roundtrip(spark, tmp_path):
+    from pii_detector_spark.operators.packing import (
+        pack_documents_by_url,
+        write_packed_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (f"https://ex.com/{i}", 10 + i, "w " * (5 + i))
+            for i in range(30)
+        ],
+        "url string, n_tokens long, scrubbed_text string",
+    )
+    out = str(tmp_path / "packed")
+    data_path, man_path = write_packed_shards(docs, 100, out)
+
+    written = spark.read.parquet(data_path)
+    # every doc present exactly once with its packing assignment
+    want = {
+        r["url"]: r["shard_id"]
+        for r in pack_documents_by_url(
+            docs.select("url", "n_tokens"), 100
+        ).collect()
+    }
+    got = {r["url"]: r["shard_id"] for r in written.collect()}
+    assert got == want
+    # payload columns survive the join
+    assert "scrubbed_text" in written.columns
+
+    # manifest describes the written table
+    man = {r["shard_id"]: r for r in spark.read.parquet(man_path).collect()}
+    agg = {
+        r["shard_id"]: r
+        for r in written.groupBy("shard_id")
+        .agg(
+            {"*": "count", "n_tokens": "sum", "scrubbed_text": "max"}
+        )
+        .collect()
+    }
+    assert set(man) == set(agg)
+    for sid, m in man.items():
+        assert m["n_docs"] == agg[sid]["count(1)"]
+        assert m["n_tokens"] == agg[sid]["sum(n_tokens)"]
+        assert m["n_chars"] > 0
+
+    # one directory per shard (loader contract)
+    import os
+
+    dirs = {
+        d for d in os.listdir(data_path) if d.startswith("shard_id=")
+    }
+    assert dirs == {f"shard_id={s}" for s in set(want.values())}
+
+    # a rewrite swaps atomically and stays consistent
+    data_path2, _ = write_packed_shards(docs, 100, out)
+    assert data_path2 == data_path
+    assert {
+        r["url"]: r["shard_id"]
+        for r in spark.read.parquet(data_path).collect()
+    } == want

@@ -953,6 +953,7 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
         "--decontaminate-against", str(bench_dir / "b.parquet"),
         "--decontaminate-ngram", "5",
         "--pack-budget", "100",
+        "--pack-materialize",
         "--host-cap", "10", "--host-cap-exact",
         "--nb-labels", str(labels_dir / "l.parquet"),
     ])
@@ -994,3 +995,102 @@ def test_job_cli_decontaminate_and_pack(spark, tmp_path_factory, monkeypatch):
     # cumulative totals are a permutation-consistent prefix sum
     tot = sum(r["n_tokens"] for r in shards)
     assert max(r["cum_tokens"] for r in shards) == tot
+
+    # --pack-materialize: physical shard table + manifest agree with the
+    # assignment table
+    data = spark.read.parquet(_os.path.join(out, "shard_data")).collect()
+    assert {r["url"]: r["shard_id"] for r in data} == {
+        r["url"]: r["shard_id"] for r in shards
+    }
+    man = spark.read.parquet(_os.path.join(out, "shard_manifest")).collect()
+    assert sum(r["n_docs"] for r in man) == len(data)
+    assert sum(r["n_tokens"] for r in man) == tot
+
+
+def test_job_cli_canonical_dedup_and_fix_text(
+    spark, tmp_path_factory, monkeypatch
+):
+    """--canonical-dedup collapses url families (latest warc_ts capture
+    wins) before the scan; --fix-text writes the repaired-text side table
+    without touching the byte-identity docs table."""
+    import datetime as dt
+    import os as _os
+    import sys
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    base_text = (
+        "meanwhile the curious cat walks along the quiet river and then "
+        "sits beside the old wooden bridge while the evening light fades "
+    ) * 4
+    # two canonical families x two captures each; the later capture of
+    # each family carries mojibake for --fix-text to repair
+    urls = [
+        "https://www.siteA.com/p?utm_source=x",   # family A, old
+        "https://siteA.com/p",                    # family A, new
+        "http://www.siteB.com:80/q/",             # family B, old
+        "http://siteB.com/q?utm_campaign=c",      # family B, new
+    ]
+    texts = [
+        base_text + " old a",
+        base_text + " new caf\u00c3\u00a9 a",    # 'cafÃ©' -> 'café'
+        base_text + " old b",
+        base_text + " new caf\u00c3\u00a9 b",
+    ]
+    ts = [
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 2),
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 2),
+    ]
+    schema = pa_.schema(
+        [("url", pa_.string()), ("warc_ts", pa_.timestamp("us")),
+         ("html", pa_.binary()), ("text", pa_.string()),
+         ("lang", pa_.string())]
+    )
+    tbl = pa_.table(
+        {"url": urls, "warc_ts": ts, "html": [None] * 4, "text": texts,
+         "lang": [None] * 4},
+        schema=schema,
+    )
+    src = tmp_path_factory.mktemp("canon_src")
+    pq_.write_table(tbl, str(src / "p.parquet"))
+    out = str(tmp_path_factory.mktemp("canon_out"))
+
+    import jobs.run_quality_filter as job
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_quality_filter.py",
+        "--input", str(src / "p.parquet"),
+        "--output", out,
+        "--run-id", "canon1",
+        "--no-html",
+        "--canonical-dedup",
+        "--fix-text",
+    ])
+    monkeypatch.setattr(
+        type(spark), "stop", lambda self: None, raising=False
+    )
+    job.main()
+
+    canon = spark.read.parquet(_os.path.join(out, "input_canonical"))
+    rows = {r["canonical_url"]: r["url"] for r in canon.collect()}
+    assert rows == {
+        "https://sitea.com/p": "https://siteA.com/p",
+        "http://siteb.com/q": "http://siteB.com/q?utm_campaign=c",
+    }
+
+    docs = spark.read.parquet(_os.path.join(out, "docs")).collect()
+    assert {r["url"] for r in docs} == set(rows.values())
+    # the docs table keeps the damaged bytes (byte-identity contract) ...
+    by_url = {r["url"]: r["scrubbed_text"] for r in docs}
+    assert all("caf\u00c3\u00a9" in t for t in by_url.values())
+
+    # ... and docs_fixed carries the repaired text
+    fixed = {
+        r["url"]: r["text_fixed"]
+        for r in spark.read.parquet(_os.path.join(out, "docs_fixed")).collect()
+    }
+    assert set(fixed) == set(rows.values())
+    assert all("caf\u00e9" in t and "\u00c3" not in t for t in fixed.values())
