@@ -911,9 +911,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style boilerplate-line removal over a corpus with planted
-    repeated lines: the two boilerplate lines appear in every doc (df = N)
-    and are removed; the two per-doc lines survive in order."""
+    """Span-removal dedup family, tagged union (doc_id, text):
+
+    - ``lines``: C4-style boilerplate-line removal over a corpus with
+      planted repeated lines (the two boilerplate lines appear in every
+      doc, df = N, and are removed; the per-doc lines survive in order);
+    - ``windows``: exact substring dedup (operators/substring_dedup,
+      the Lee-et-al duplicated k-token-window cut, k=4) over a planted
+      corpus with a cross-doc shared phrase (canonical = least
+      (doc_id, pos) occurrence keeps it) and, on every third doc, a
+      within-doc repeated 4-token run (first occurrence kept).  The
+      oracle side is an INDEPENDENT full reimplementation of the
+      algorithm in SQL (windows → dup hashes → coverage → rebuild).
+    """
+    return _tagged_union({
+        "lines": _q_boilerplate_lines_part(spark, sf_dir),
+        "windows": _q_substring_dedup_part(spark, sf_dir),
+    })
+
+
+def _q_boilerplate_lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id")
     text = F.concat(
         F.lit("accept cookies to continue\ndoc body "),
@@ -923,6 +940,26 @@ def q_remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = d.select("doc_id", text.alias("text"))
     out = dedup.remove_boilerplate_lines(planted, min_doc_freq=2)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+
+
+def _q_substring_dedup_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_detector_spark.operators.substring_dedup import (
+        remove_duplicate_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("u"), k, F.lit("a u"), k,
+        F.lit("b accept all cookies now please mid"), k,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" rw"), k, F.lit(" rx ry rz kk"), k,
+                     F.lit(" rw"), k, F.lit(" rx ry rz")),
+        ).otherwise(F.concat(F.lit(" t"), k)),
+    )
+    out = remove_duplicate_windows(d.select("doc_id", text.alias("text")), k=4)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
 
 
@@ -2653,11 +2690,59 @@ FROM documents d LEFT JOIN hits USING (doc_id)""",
         "minhash_lsh": _minhash_sql(3, 12, 4, 0.5),
         # delta-mode accumulation must equal full recompute — same oracle
         "minhash_delta": _minhash_sql(3, 12, 4, 0.5),
-        "remove_boilerplate_lines": """
+        "remove_boilerplate_lines": _tagged_union_sql({
+            "lines": """
 SELECT doc_id::BIGINT AS doc_id,
        'doc body ' || doc_id::VARCHAR || chr(10) || 'unique tail '
          || (doc_id * 7)::VARCHAR AS text
 FROM documents""",
+            # independent SQL reimplementation of the duplicated-window
+            # cut (k=4): k-gram md5s -> dup hashes with min-(doc,pos)
+            # canonical -> coverage intervals -> ordered token rebuild
+            "windows": """
+WITH docs AS (
+  SELECT doc_id,
+    'u' || doc_id::VARCHAR || 'a u' || doc_id::VARCHAR
+      || 'b accept all cookies now please mid' || doc_id::VARCHAR ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' rw' || doc_id::VARCHAR || ' rx ry rz kk' || doc_id::VARCHAR
+           || ' rw' || doc_id::VARCHAR || ' rx ry rz'
+      ELSE ' t' || doc_id::VARCHAR
+    END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+3], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 4
+),
+dup AS (
+  SELECT h, min(doc_id * 1048576 + pos) AS canon
+  FROM wins GROUP BY h HAVING count(*) > 1
+),
+marks AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup d USING (h)
+  WHERE w.doc_id * 1048576 + w.pos <> d.canon
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + o AS i
+  FROM marks, UNNEST(generate_series(0, 3)) AS g(o)
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS i, w[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         string_agg(CASE WHEN c.i IS NULL THEN t.tok END,
+                    ' ' ORDER BY t.i) AS text
+  FROM tok_rows t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(r.text, '') AS text
+FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""",
+        }),
         "boilerplate_shingles": f"""
 WITH {_shingles_cte(3).lstrip()},
 ex AS (SELECT doc_id, md5(unnest(shingles)) AS shingle_md5 FROM nz)

@@ -95,6 +95,14 @@ def main() -> None:
                          "control normalization over kept docs' scrubbed "
                          "text. Opt-in because the primary docs table "
                          "keeps the byte-identical extraction contract")
+    ap.add_argument("--dedup-substring", type=int, default=None,
+                    metavar="K",
+                    help="after the run, write a docs_window_deduped "
+                         "table (url, text): every duplicated K-token "
+                         "window cut from all but its canonical "
+                         "occurrence (Lee-et-al exact substring dedup) "
+                         "over kept docs' scrubbed text; output text is "
+                         "whitespace-normalized")
     ap.add_argument("--nb-labels", default=None,
                     help="parquet of labeled docs (label boolean, text "
                          "string): trains the Naive-Bayes quality "
@@ -238,6 +246,27 @@ def main() -> None:
         )
         fixed.write.mode("overwrite").parquet(
             os.path.join(args.output, "docs_fixed")
+        )
+    if args.dedup_substring:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.substring_dedup import (
+            remove_duplicate_windows,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        deduped_docs = remove_duplicate_windows(
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select("url", "scrubbed_text"),
+            id_col="url",
+            text_col="scrubbed_text",
+            k=args.dedup_substring,
+        ).withColumnRenamed("doc_id", "url")
+        deduped_docs.write.mode("overwrite").parquet(
+            os.path.join(args.output, "docs_window_deduped")
         )
     if args.pack_budget:
         shards = pack_documents_by_url(

@@ -1068,6 +1068,7 @@ def test_job_cli_canonical_dedup_and_fix_text(
         "--no-html",
         "--canonical-dedup",
         "--fix-text",
+        "--dedup-substring", "8",
     ])
     monkeypatch.setattr(
         type(spark), "stop", lambda self: None, raising=False
@@ -1094,3 +1095,20 @@ def test_job_cli_canonical_dedup_and_fix_text(
     }
     assert set(fixed) == set(rows.values())
     assert all("caf\u00e9" in t and "\u00c3" not in t for t in fixed.values())
+
+    # --dedup-substring 8: url-keyed window dedup over kept docs. The two
+    # survivors share the long base_text, so the lexicographically first
+    # url keeps its first period and the other loses the shared windows;
+    # totals shrink, urls and ids (string-keyed) survive intact.
+    wdd = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "docs_window_deduped")
+        ).collect()
+    }
+    assert set(wdd) == set(rows.values())
+    orig_tokens = sum(len(t.split()) for t in by_url.values())
+    dedup_tokens = sum(len(t.split()) for t in wdd.values())
+    assert 0 < dedup_tokens < orig_tokens
+    canonical_url = min(wdd)
+    assert wdd[canonical_url].startswith("meanwhile the curious cat")
