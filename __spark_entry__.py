@@ -1430,7 +1430,51 @@ def q_lang_fluency_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppl = q_word_ppl_planted(spark, sf_dir).select(
         "doc_id", F.col("is_fluent").cast("string").alias("pred")
     )
-    return _tagged_union({"langid": lang, "word_ppl": ppl})
+    return _tagged_union({
+        "langid": lang,
+        "word_ppl": ppl,
+        "ccnet_ppl": _q_ccnet_ppl_part(spark, sf_dir),
+        "ccnet_rank": _q_ccnet_rank_part(spark, sf_dir),
+    })
+
+
+def _q_ccnet_ppl_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tier assignment (operators/ccnet.assign_buckets) over the
+    REAL word-perplexity scorer on the planted corpus: plant ppls are
+    en 579.3 / es 1692.2 / de,ru 1786.9 / fr 1821.6, so bounds
+    [1000, 1800] put en→head, es/de/ru→middle, fr→tail — every tier
+    exercised and the expected bucket is a pure doc_id%5 function the
+    oracle derives without the model."""
+    from pii_detector_spark.operators.ccnet import assign_buckets
+    from pii_detector_spark.operators.langid import with_word_perplexity
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.element_at(
+        F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    scored = with_word_perplexity(d.select("doc_id", text.alias("text")))
+    out = assign_buckets(scored, "word_ppl", bounds=[1000.0, 1800.0])
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket").alias("pred"),
+    )
+
+
+def _q_ccnet_rank_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-mass tiers (operators/ccnet.rank_buckets) over a
+    JVM-computable score (text length), tie-broken by doc_id — DuckDB
+    reproduces percent_rank's integer-rank arithmetic bit for bit."""
+    from pii_detector_spark.operators.ccnet import rank_buckets
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("score")
+    )
+    out = rank_buckets(d, "score", tie_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bucket").alias("pred"),
+    )
 
 
 def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,10 +1599,29 @@ def q_ann_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.embedding_neardup_pairs(
+    """Embedding-dup family, tagged union (id_a, id_b, cosine):
+
+    - ``pairs``: LSH-bucketed cosine near-dup pairs (threshold 0.4);
+    - ``semdedup``: SemDeDup-style semantic dedup verdicts
+      (operators/semdedup) run with n_cells=1 so the id-dominance EXISTS
+      rule is global and the SQL oracle can verify the exact drop set
+      (id_a = vec_id, id_b = cell, cosine = dropped as 0.0/1.0); the
+      multi-cell clustering path is pinned by tests/test_semdedup.py.
+    """
+    pairs = similarity.embedding_neardup_pairs(
         _emb(spark, sf_dir), dim=64, threshold=0.4, n_planes=6
+    ).select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+    from pii_detector_spark.operators.semdedup import semantic_dedup
+
+    sd = semantic_dedup(
+        _emb(spark, sf_dir), dim=64, tau=0.2, n_cells=1, iters=1
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell").alias("id_b"),
+        F.col("dropped").cast("double").alias("cosine"),
     )
-    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    return _tagged_union({"pairs": pairs, "semdedup": sd})
 
 
 # ---------------------------------------------------------------------------
@@ -2307,6 +2370,18 @@ p AS (
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(cos, 5) AS cosine
 FROM p WHERE cos >= {thr}"""
+
+
+def _semdedup_sql(thr: float) -> str:
+    """Global (n_cells=1) SemDeDup id-dominance rule as an EXISTS."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id::BIGINT AS id_a, 0::BIGINT AS id_b,
+  CASE WHEN EXISTS (
+    SELECT 1 FROM e b
+    WHERE b.vec_id < a.vec_id AND {_COS_SQL} >= {thr}
+  ) THEN 1.0 ELSE 0.0 END AS cosine
+FROM e a"""
 
 
 def _quality_metrics_sql() -> str:
@@ -3083,7 +3158,9 @@ FROM documents""",
         # exhaustive-probe IVF == exact top-k → brute-force SQL is the oracle
         "ann_ivf": _ann_bruteforce_sql(3, 8),
         "ann_ivf_delta": _ann_bruteforce_sql(3, 8),
-        "embedding_neardup": _neardup_sql(64, 0.4, 6),
+        "embedding_neardup": _tagged_union_sql(
+            {"pairs": _neardup_sql(64, 0.4, 6), "semdedup": _semdedup_sql(0.2)}
+        ),
         "media_features": """
 SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
        octet_length(encode(text))::BIGINT AS n_bytes,
@@ -3262,6 +3339,22 @@ FROM documents""",
         "word_ppl": """
 SELECT doc_id::BIGINT AS doc_id, (doc_id % 5 = 1)::VARCHAR AS pred
 FROM documents""",
+        "ccnet_ppl": """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN doc_id % 5 = 1 THEN 'head'
+            WHEN doc_id % 5 = 3 THEN 'tail'
+            ELSE 'middle' END AS pred
+FROM documents""",
+        "ccnet_rank": """
+WITH r AS (
+  SELECT doc_id, percent_rank() OVER (ORDER BY length(text), doc_id) AS pr
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN pr <= 1.0/3.0 THEN 'head'
+            WHEN pr <= 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS pred
+FROM r""",
     })
     # registry consolidation (mirrors queries()): merged tagged-union
     # entries replace their members — identical SQL, identical coverage

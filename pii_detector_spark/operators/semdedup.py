@@ -1,0 +1,136 @@
+"""Semantic deduplication (SemDeDup-style): cluster embeddings, prune
+within-cluster cosine near-duplicates.
+
+The public recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication") prunes a corpus by
+(1) k-means-clustering document embeddings and (2) dropping, within each
+cluster, all but one member of every cosine-similarity ``>= tau`` group.
+Pairwise similarity is only ever computed *inside* a cluster, which is
+what makes the method tractable at web scale: O(sum c_i^2) with cell
+populations c_i ~ n/k, never O(n^2).
+
+This implementation composes the engine's existing deterministic IVF
+machinery (``similarity.ivf_train_centroids`` — md5-seeded, fixed-point
+Lloyd steps, identical centroids on every run/partitioning — and
+``similarity.ivf_assign`` for frozen-centroid delta assignment) with one
+new per-cell pruning kernel:
+
+* **keep rule**: within a cell, drop ``x`` iff some ``y`` with
+  ``vec_id < x`` has ``cos(x, y) >= tau``.  This is the deterministic
+  id-dominance variant of the paper's rule (the paper keeps the member
+  with the lowest centroid similarity; any single-survivor rule yields
+  the same dedup *rate*, and id-dominance is engine-portable — a DuckDB
+  ``EXISTS`` oracle can verify the exact drop set row for row).
+  Transitive chains collapse to the least id: y~x and x~z drops both
+  toward min-id even when cos(y, z) < tau — matching the paper's
+  "keep one representative per similarity group" intent.
+* **shape**: one cell-keyed shuffle, then per-cell blocked numpy matmul
+  inside ``applyInPandas`` — each vector crosses the Arrow boundary
+  once; pair rows never materialize (only the boolean verdict per row
+  comes back).  Per-task memory is cell_size x dim plus a
+  block x cell_size tile.
+* **scale guard**: a skewed/giant cell turns the kernel quadratic, so
+  ``max_cell_rows`` FAILS LOUDLY (with the n_cells remedy in the
+  message) instead of silently burning a task for hours — same
+  explicit-failure discipline as ``clusters.connected_components``.
+
+The reference engine has no embedding operators (SURVEY.md §2.6 —
+beyond-reference training-data toolkit); the nearest reference analogue
+is the duplicate-suppression intent of its already-scanned set
+(``app/services/base_scan_service.py:118-141``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pii_detector_spark.operators.similarity import (
+    ivf_assign,
+    ivf_train_centroids,
+)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    tau: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    block: int = 2048,
+    max_cell_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-document semantic-dup verdicts: (vec_id, cell, dropped).
+
+    ``centroids=None`` trains them here (small-corpus / first-build
+    path); passing a stored matrix is the delta path — new documents are
+    assigned under frozen centroids and pruned against whatever corpus
+    ``df`` holds, without re-clustering (same artifact contract as
+    ``ivf_query``).  Filter ``~dropped`` to materialize the pruned
+    corpus; the verdict form keeps both sides auditable.
+    """
+    c = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            c, dim=dim, n_cells=n_cells, iters=iters, id_col="vec_id",
+            vec_col="vec",
+        )
+    assigned = ivf_assign(c, centroids)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell has {m} rows (> max_cell_rows="
+                f"{max_cell_rows}); raise n_cells so cell populations "
+                "stay task-sized (pairwise pruning is quadratic per cell)"
+            )
+        cell = int(pdf["cell"].iloc[0]) if m else 0
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cell": np.full(m, cell, dtype=np.int64),
+                    "dropped": np.zeros(m, dtype=bool),
+                }
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)[order]
+        X = np.stack(pdf["vec"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )[order]
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0  # zero vectors: cos defined as 0, never similar
+        Xn = X / n
+        dropped = np.zeros(m, dtype=bool)
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            sims = Xn[s:e] @ Xn.T  # (block, m) tile
+            # strict lower triangle of the global matrix: y before x in
+            # id order.  Rows in this tile are ids[s:e]; candidate
+            # dominators are all columns j < row index.
+            for r in range(e - s):
+                gi = s + r
+                if gi == 0:
+                    continue
+                if np.any(sims[r, :gi] >= tau):
+                    dropped[gi] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(m, cell, dtype=np.int64),
+                "dropped": dropped,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, schema="vec_id long, cell long, dropped boolean"
+    )
