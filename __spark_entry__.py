@@ -1501,8 +1501,32 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = train_nb(marked)
     out = score_nb(marked, model)
-    return out.select(
+    nb = out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "nb_score_fp", "nb_keep"
+    )
+    return _tagged_union({"nb": nb, "dsir": _q_dsir_part(spark, sf_dir)})
+
+
+def _q_dsir_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (operators/dsir): target sample
+    = docs with doc_id%5==0, raw = the rest, unigram buckets (the bigram
+    path is python-oracle-pinned in tests/test_dsir.py). DuckDB retrains
+    the identical hashed-bucket model — md5-prefix bucketing and integer
+    micro-nat weights make the per-doc sums hash-identical — and the
+    keep flag is the weight's sign (resampling toward the target)."""
+    from pii_detector_spark.operators.dsir import dsir_weights, train_dsir
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = train_dsir(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        ngram_max=1,
+    )
+    out = dsir_weights(d, m)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dsir_weight_fp").alias("nb_score_fp"),
+        (F.col("dsir_weight_fp") >= 0).alias("nb_keep"),
     )
 
 
@@ -3329,6 +3353,48 @@ SELECT b.doc_id::BIGINT AS doc_id,
        (COALESCE(s.tok_sum, 0) + c.bias) >= 0 AS nb_keep
 FROM base b LEFT JOIN scored s USING (doc_id), consts c""",
     }
+    # dsir: full model retrain in SQL (hashed md5-prefix buckets,
+    # micro-nat integer LLR weights — mirrors operators/dsir exactly)
+    base["nb_quality"] = _tagged_union_sql({
+        "nb": base["nb_quality"],
+        "dsir": """
+WITH g AS (
+  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+allb AS (
+  SELECT bucket,
+         SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS c_t,
+         SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS c_r
+  FROM g GROUP BY bucket
+),
+tot AS (
+  SELECT SUM(c_t)::BIGINT AS tt, SUM(c_r)::BIGINT AS tr FROM allb
+),
+weights AS (
+  SELECT bucket,
+         round((ln((c_t + 1)::DOUBLE / (tt + 256)::DOUBLE)
+              - ln((c_r + 1)::DOUBLE / (tr + 256)::DOUBLE))
+               * 1000000, 0)::BIGINT AS w_fp
+  FROM allb, tot
+),
+consts AS (
+  SELECT round((ln(1.0 / (tt + 256)::DOUBLE)
+              - ln(1.0 / (tr + 256)::DOUBLE)) * 1000000, 0)::BIGINT AS dflt
+  FROM tot
+),
+scored AS (
+  SELECT g.doc_id, SUM(COALESCE(w.w_fp, c.dflt))::BIGINT AS s
+  FROM g LEFT JOIN weights w USING (bucket), consts c
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       COALESCE(s.s, 0)::BIGINT AS nb_score_fp,
+       COALESCE(s.s, 0) >= 0 AS nb_keep
+FROM documents d LEFT JOIN scored s USING (doc_id)""",
+    })
     # langid_documents: Python model artifacts — rows-only by design;
     # lang_fluency_planted carries the full cross-engine check instead
     base["lang_fluency_planted"] = _tagged_union_sql({
