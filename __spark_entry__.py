@@ -1641,7 +1641,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = semantic_dedup(
         _emb(spark, sf_dir), dim=64, tau=0.2, n_cells=1, iters=1
     ).select(
-        F.col("vec_id").alias("id_a"),
+        F.col("vec_id").cast("long").alias("id_a"),
         F.col("cell").alias("id_b"),
         F.col("dropped").cast("double").alias("cosine"),
     )

@@ -103,6 +103,37 @@ def main() -> None:
                          "occurrence (Lee-et-al exact substring dedup) "
                          "over kept docs' scrubbed text; output text is "
                          "whitespace-normalized")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain texts (column 'text'): "
+                         "trains DSIR hashed-n-gram importance weights "
+                         "(target vs the kept docs as the raw model; "
+                         "--dsir-raw overrides) and scores kept docs via "
+                         "the zero-shuffle broadcast path, writing a "
+                         "'dsir_weights' table (url, dsir_weight_fp)")
+    ap.add_argument("--dsir-raw", default=None,
+                    help="optional parquet of raw-corpus sample texts for "
+                         "--dsir-target (column 'text')")
+    ap.add_argument("--ppl-buckets", action="store_true",
+                    help="after the run, write a 'ppl_buckets' table "
+                         "(url, lang_pred, word_ppl, bucket): CCNet-style "
+                         "head/middle/tail tiers per predicted language "
+                         "(word-perplexity terciles via percentile_approx "
+                         "bounds + broadcast assignment)")
+    ap.add_argument("--semdedup-embeddings", default=None,
+                    help="parquet of (vec_id, embedding array) rows keyed "
+                         "by url or numeric id: SemDeDup semantic dedup "
+                         "verdicts to a 'semantic_dups' table "
+                         "(vec_id, cell, dropped)")
+    ap.add_argument("--semdedup-tau", type=float, default=0.95)
+    ap.add_argument("--semdedup-cells", type=int, default=1024)
+    ap.add_argument("--semdedup-dim", type=int, default=None,
+                    help="embedding dimension (default: inferred from "
+                         "the first row)")
+    ap.add_argument("--expire-keep-last", type=int, default=None,
+                    metavar="N",
+                    help="after the run, expire all but the newest N "
+                         "snapshots and GC run partitions unreachable "
+                         "from the survivors (plans/snapshots)")
     ap.add_argument("--nb-labels", default=None,
                     help="parquet of labeled docs (label boolean, text "
                          "string): trains the Naive-Bayes quality "
@@ -228,6 +259,82 @@ def main() -> None:
         scored.write.mode("overwrite").parquet(
             os.path.join(args.output, "nb_scores")
         )
+    if args.dsir_target:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.dsir import (
+            dsir_weights_broadcast,
+            train_dsir,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        kept_docs = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select("url", F.col("scrubbed_text").alias("text"))
+        )
+        target = spark.read.parquet(args.dsir_target).select("text")
+        raw = (
+            spark.read.parquet(args.dsir_raw).select("text")
+            if args.dsir_raw
+            else kept_docs.select("text")
+        )
+        model = train_dsir(target, raw)
+        weights = dsir_weights_broadcast(kept_docs, model, id_col="url")
+        weights.write.mode("overwrite").parquet(
+            os.path.join(args.output, "dsir_weights")
+        )
+    if args.ppl_buckets:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.ccnet import (
+            assign_buckets,
+            bucket_bounds,
+        )
+        from pii_detector_spark.operators.langid import with_word_perplexity
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        scored = with_word_perplexity(
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select("url", "lang_pred", "scrubbed_text"),
+            text_col="scrubbed_text",
+        )
+        bounds = bucket_bounds(scored, "word_ppl", group_col="lang_pred")
+        tiers = assign_buckets(
+            scored, "word_ppl", bounds, group_col="lang_pred"
+        ).select("url", "lang_pred", "word_ppl", "bucket")
+        tiers.write.mode("overwrite").parquet(
+            os.path.join(args.output, "ppl_buckets")
+        )
+    if args.semdedup_embeddings:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.semdedup import semantic_dedup
+
+        emb = spark.read.parquet(args.semdedup_embeddings)
+        dim = args.semdedup_dim or len(
+            emb.select("embedding").first()["embedding"]
+        )
+        verdicts = semantic_dedup(
+            emb.select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("double")
+                ).alias("embedding"),
+            ),
+            dim=dim,
+            tau=args.semdedup_tau,
+            n_cells=args.semdedup_cells,
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(args.output, "semantic_dups")
+        )
     if args.fix_text:
         import os
 
@@ -286,6 +393,11 @@ def main() -> None:
                 args.pack_budget,
                 args.output,
             )
+
+    if args.expire_keep_last:
+        from pii_detector_spark.plans.snapshots import expire_snapshots
+
+        expire_snapshots(args.output, keep_last=args.expire_keep_last)
 
     print(
         f"docs={res.docs_written} docs_path={res.docs_path} "

@@ -74,14 +74,28 @@ def semantic_dedup(
     ``ivf_query``).  Filter ``~dropped`` to materialize the pruned
     corpus; the verdict form keeps both sides auditable.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
     c = df.select(
-        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
     )
     if centroids is None:
+        # ivf_train_centroids keys its deterministic seeding on a LONG id;
+        # a surrogate md5-derived long keeps training id-type-agnostic
+        # (string/url-keyed corpora) while staying fully deterministic
+        train_in = c.select(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("vec_id"),
+            "vec",
+        )
         centroids = ivf_train_centroids(
-            c, dim=dim, n_cells=n_cells, iters=iters, id_col="vec_id",
-            vec_col="vec",
+            train_in, dim=dim, n_cells=n_cells, iters=iters,
+            id_col="vec_id", vec_col="vec",
         )
     assigned = ivf_assign(c, centroids)
 
@@ -97,13 +111,13 @@ def semantic_dedup(
         if m < 2:
             return pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "vec_id": pdf["vec_id"],
                     "cell": np.full(m, cell, dtype=np.int64),
                     "dropped": np.zeros(m, dtype=bool),
                 }
             )
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-        ids = pdf["vec_id"].to_numpy().astype(np.int64)[order]
+        ids = pdf["vec_id"].to_numpy()[order]
         X = np.stack(pdf["vec"].map(np.asarray).to_numpy()).astype(
             np.float64
         )[order]
@@ -132,5 +146,5 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(
-        prune, schema="vec_id long, cell long, dropped boolean"
+        prune, schema=f"vec_id {id_type}, cell long, dropped boolean"
     )

@@ -324,8 +324,13 @@ def write_run_outputs(
         checkpoint.metrics_path(output_dir)
     )
     # all four sinks landed: commit the run (any kill before this line
-    # leaves an unmarked run that heal_uncommitted_runs removes wholesale)
+    # leaves an unmarked run that heal_uncommitted_runs removes wholesale),
+    # then publish it in the snapshot log (a kill between the two commit
+    # points is healed by catch_up_snapshots on the next run)
     mark_run_committed(output_dir, run_id)
+    from pii_detector_spark.plans.snapshots import commit_run_snapshot
+
+    commit_run_snapshot(output_dir, run_id)
     return sum(r["docs_scanned"] for r in metrics_rows)
 
 
@@ -683,8 +688,12 @@ def _run_pipeline_impl(
     (url, component, is_canonical). The primary ``docs`` table is left
     complete so downstream consumers choose raw vs deduped."""
     # remove partitions of any previously-crashed (unmarked) run BEFORE
-    # reading lineage — their urls then resume as unprocessed
+    # reading lineage — their urls then resume as unprocessed — and pull
+    # marker-committed runs a crash left out of the snapshot log back in
     heal_uncommitted_runs(spark, output_dir)
+    from pii_detector_spark.plans.snapshots import catch_up_snapshots
+
+    catch_up_snapshots(output_dir)
 
     raw = apply_prefilters(read_web_pages(spark, input_path))
     pending = raw

@@ -1112,3 +1112,115 @@ def test_job_cli_canonical_dedup_and_fix_text(
     assert 0 < dedup_tokens < orig_tokens
     canonical_url = min(wdd)
     assert wdd[canonical_url].startswith("meanwhile the curious cat")
+
+
+def test_job_cli_dsir_ppl_semdedup_expire(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The spark-submit entry point with the data-selection flags:
+    --dsir-target writes url-keyed importance weights, --ppl-buckets
+    writes CCNet tiers, --semdedup-embeddings writes semantic-dup
+    verdicts, --expire-keep-last prunes the snapshot log."""
+    import os as _os
+    import sys
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    river = (
+        "meanwhile the curious cat walks along the quiet river and then "
+        "sits beside the old wooden bridge while the evening light fades "
+    ) * 4
+    fox = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest before the sun finally sets "
+    ) * 4
+    src = tmp_path_factory.mktemp("dsr_src")
+    urls = [f"https://dsr.example.com/{i}" for i in range(4)]
+    texts = [river, fox, river + " tail words", fox + " extra bits"]
+    pq_.write_table(_delta_tbl(urls, texts), str(src / "p.parquet"))
+
+    tgt_dir = tmp_path_factory.mktemp("dsr_tgt")
+    pq_.write_table(
+        pa_.table({"text": [river, river + " calm water"]}),
+        str(tgt_dir / "t.parquet"),
+    )
+
+    emb_dir = tmp_path_factory.mktemp("dsr_emb")
+    pq_.write_table(
+        pa_.table(
+            {
+                "vec_id": urls,
+                "embedding": [
+                    [1.0, 0.0, 0.0],
+                    [0.999, 0.02, 0.0],  # near-dup of urls[0]
+                    [0.0, 1.0, 0.0],
+                    [0.0, 0.0, 1.0],
+                ],
+            },
+            schema=pa_.schema(
+                [("vec_id", pa_.string()),
+                 ("embedding", pa_.list_(pa_.float64()))]
+            ),
+        ),
+        str(emb_dir / "e.parquet"),
+    )
+    out = str(tmp_path_factory.mktemp("dsr_out"))
+
+    import jobs.run_quality_filter as job
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_quality_filter.py",
+        "--input", str(src / "p.parquet"),
+        "--output", out,
+        "--run-id", "dsr1",
+        "--no-html",
+        "--dsir-target", str(tgt_dir / "t.parquet"),
+        "--ppl-buckets",
+        "--semdedup-embeddings", str(emb_dir / "e.parquet"),
+        "--semdedup-tau", "0.99",
+        "--semdedup-cells", "1",
+        "--expire-keep-last", "1",
+    ])
+    monkeypatch.setattr(
+        type(spark), "stop", lambda self: None, raising=False
+    )
+    job.main()
+
+    w = {
+        r["url"]: r["dsir_weight_fp"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "dsir_weights")
+        ).collect()
+    }
+    kept = {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "docs"))
+        .filter("keep").collect()
+    }
+    assert set(w) == kept
+    # river docs resemble the target sample; fox docs don't
+    rivers = [w[u] for u in (urls[0], urls[2]) if u in w]
+    foxes = [w[u] for u in (urls[1], urls[3]) if u in w]
+    assert rivers and foxes
+    assert min(rivers) > max(foxes)
+
+    tiers = spark.read.parquet(_os.path.join(out, "ppl_buckets")).collect()
+    assert {r["url"] for r in tiers} == kept
+    assert all(r["bucket"] in ("head", "middle", "tail") for r in tiers)
+    assert all(r["word_ppl"] > 0 for r in tiers)
+
+    dups = {
+        r["vec_id"]: r["dropped"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "semantic_dups")
+        ).collect()
+    }
+    assert dups == {
+        urls[0]: False, urls[1]: True, urls[2]: False, urls[3]: False
+    }
+
+    from pii_detector_spark.plans import snapshots as S
+
+    assert S.current_snapshot_id(out) == 1
+    assert S.snapshot_log(out)[-1].run_ids == ("dsr1",)

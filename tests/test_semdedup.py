@@ -126,6 +126,23 @@ def test_delta_path_frozen_centroids(spark):
     )
 
 
+def test_string_ids_url_keyed(spark):
+    """Web corpora key by url: id type passes through, dominance is
+    lexicographic (matching a SQL EXISTS on the same column)."""
+    rows, df = _planted(spark)
+    sdf = df.selectExpr(
+        "concat('https://ex.com/', lpad(cast(vec_id as string), 3, '0')) "
+        "AS vec_id",
+        "embedding",
+    )
+    out = semantic_dedup(sdf, dim=4, tau=0.99, n_cells=1, iters=1)
+    got = {r["vec_id"]: r["dropped"] for r in out.collect()}
+    srows = [(f"https://ex.com/{r[0]:03d}", r[1]) for r in rows]
+    want = _brute_drop_set(srows, 0.99)
+    assert {k for k, v in got.items() if v} == want
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+
+
 def test_giant_cell_guard_raises(spark):
     _, df = _planted(spark)
     with pytest.raises(Exception, match="max_cell_rows"):
