@@ -980,7 +980,46 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text analysis operators
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+    """Token-counting family, tagged union (doc_id, ws_tokens,
+    bpe_tokens, n_chars):
+
+    - ``stats``: whitespace + BPE-ish-regex counts (operators/textstats);
+    - ``bpe_trained``: REAL BPE training + encoding (operators/bpe) on a
+      planted two-class corpus. Uniform scaling of word frequencies
+      preserves the greedy merge order, so the merge sequence on
+      {low low lower | newest widest} is size-invariant:
+      (l,o), (lo,w), (e,s), (es,t) — and per-class token counts are the
+      constants 8 / 10 the oracle derives from doc_id%2 without running
+      the tokenizer."""
+    stats = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    return _tagged_union({
+        "stats": stats,
+        "bpe_trained": _q_bpe_planted_part(spark, sf_dir),
+    })
+
+
+def _q_bpe_planted_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_detector_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    text = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("low low lower")
+    ).otherwise(F.lit("newest widest"))
+    planted = d.select("doc_id", text.alias("text"))
+    merges = train_bpe(word_counts(planted), n_merges=4)
+    out = bpe_token_counts(planted, merges)
+    return out.join(planted, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))")
+        .cast("long")
+        .alias("ws_tokens"),
+        F.col("n_bpe_tokens").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2850,12 +2889,21 @@ SELECT shingle_md5, count(*)::BIGINT AS doc_freq,
 FROM ex GROUP BY 1 HAVING count(*) >= 2""",
         "simhash": _simhash_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
-        "token_counts": f"""
+        "token_counts": _tagged_union_sql({
+            "stats": f"""
 SELECT doc_id::BIGINT AS doc_id,
   len({_WORDS_SQL})::BIGINT AS ws_tokens,
   len(regexp_extract_all(text, '{bpe}'))::BIGINT AS bpe_tokens,
   length(text)::BIGINT AS n_chars
 FROM documents""",
+            # trained-BPE constants derived in q_token_counts' docstring
+            "bpe_trained": """
+SELECT doc_id::BIGINT AS doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT AS ws_tokens,
+  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 10 END)::BIGINT AS bpe_tokens,
+  13::BIGINT AS n_chars
+FROM documents""",
+        }),
         "fingerprints": """
 SELECT doc_id::BIGINT AS doc_id,
   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

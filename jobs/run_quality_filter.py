@@ -129,6 +129,12 @@ def main() -> None:
     ap.add_argument("--semdedup-dim", type=int, default=None,
                     help="embedding dimension (default: inferred from "
                          "the first row)")
+    ap.add_argument("--bpe-merges", type=int, default=None, metavar="N",
+                    help="after the run, train an N-merge BPE tokenizer "
+                         "on kept docs (one distributed word count + "
+                         "driver-side merge loop) and write 'bpe_merges' "
+                         "(rank, left, right) plus 'bpe_counts' "
+                         "(url, n_bpe_tokens) via the broadcast encoder")
     ap.add_argument("--expire-keep-last", type=int, default=None,
                     metavar="N",
                     help="after the run, expire all but the newest N "
@@ -311,6 +317,33 @@ def main() -> None:
         tiers.write.mode("overwrite").parquet(
             os.path.join(args.output, "ppl_buckets")
         )
+    if args.bpe_merges:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.bpe import (
+            bpe_token_counts,
+            train_bpe,
+            word_counts,
+        )
+        from pii_detector_spark.plans.pipeline import read_docs_table
+
+        kept_docs = (
+            read_docs_table(spark, args.output)
+            .filter(F.col("keep"))
+            .dropDuplicates(["url"])  # same one-row-per-url guard
+            .select("url", F.col("scrubbed_text").alias("text"))
+        )
+        merges = train_bpe(word_counts(kept_docs), n_merges=args.bpe_merges)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank long, left string, right string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "bpe_merges")
+        )
+        bpe_token_counts(kept_docs, merges, id_col="url").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "bpe_counts"))
     if args.semdedup_embeddings:
         import os
 

@@ -1,0 +1,87 @@
+"""BPE training + encoding: hand-derivable merge sequences, count-path
+equivalence, determinism, and the classic paper example."""
+
+from __future__ import annotations
+
+from pii_detector_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_token_counts,
+    encode_text,
+    train_bpe,
+    word_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_paper_example_merges():
+    """Sennrich et al.'s worked example: vocab {low:5, lower:2,
+    newest:6, widest:3} — first merges are (e,s), (es,t), (est,</w>)."""
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(counts, n_merges=3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW)]
+
+
+def test_encode_follows_merge_ranks():
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(counts, n_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # a trained word reduces further than an unseen one
+    assert len(encode_text("newest", ranks)) < len(
+        encode_text("zzyzzy", ranks)
+    )
+    # unseen characters stay as singletons + EOW
+    assert encode_text("qqq", ranks) == ["q", "q", "q", EOW]
+    assert encode_text("", ranks) == []
+    assert encode_text(None, ranks) == []
+
+
+def test_distributed_training_matches_local_counts(spark):
+    """word_counts → train_bpe equals training from hand counts; the
+    corpus pass and the merge loop compose exactly."""
+    texts = ["low low low low low lower lower", "newest " * 6 + "widest " * 3]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_dist = train_bpe(word_counts(df), n_merges=3)
+    merges_local = train_bpe(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 3
+    )
+    assert merges_dist == merges_local
+
+
+def test_training_partitioning_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    m1 = train_bpe(word_counts(docs), n_merges=20)
+    m2 = train_bpe(word_counts(docs.repartition(7)), n_merges=20)
+    assert m1 == m2 and len(m1) == 20
+
+
+def test_token_counts_and_encode_agree(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    merges = train_bpe(word_counts(docs), n_merges=30)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert set(counts) == set(toks)
+    for k in counts:
+        assert counts[k] == len(toks[k])
+        # merges only ever shrink the symbol stream
+        n_chars = None
+    # python-side cross-check on one doc
+    row = docs.limit(1).collect()[0]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert counts[row["doc_id"]] == len(encode_text(row["text"], ranks))
+
+
+def test_merge_stops_when_dry():
+    # every word unique, freq 1 → no pair reaches freq 2 → no merges
+    assert train_bpe([("ab", 1), ("cd", 1)], n_merges=5) == []

@@ -1180,6 +1180,7 @@ def test_job_cli_dsir_ppl_semdedup_expire(
         "--semdedup-embeddings", str(emb_dir / "e.parquet"),
         "--semdedup-tau", "0.99",
         "--semdedup-cells", "1",
+        "--bpe-merges", "15",
         "--expire-keep-last", "1",
     ])
     monkeypatch.setattr(
@@ -1219,6 +1220,17 @@ def test_job_cli_dsir_ppl_semdedup_expire(
     assert dups == {
         urls[0]: False, urls[1]: True, urls[2]: False, urls[3]: False
     }
+
+    merges = spark.read.parquet(_os.path.join(out, "bpe_merges")).collect()
+    assert len(merges) == 15
+    assert sorted(r["rank"] for r in merges) == list(range(15))
+    bc = {
+        r["url"]: r["n_bpe_tokens"]
+        for r in spark.read.parquet(
+            _os.path.join(out, "bpe_counts")
+        ).collect()
+    }
+    assert set(bc) == kept and all(v > 0 for v in bc.values())
 
     from pii_detector_spark.plans import snapshots as S
 
