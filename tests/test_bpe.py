@@ -85,3 +85,18 @@ def test_token_counts_and_encode_agree(spark):
 def test_merge_stops_when_dry():
     # every word unique, freq 1 → no pair reaches freq 2 → no merges
     assert train_bpe([("ab", 1), ("cd", 1)], n_merges=5) == []
+
+
+def test_encode_shuffle_free(spark):
+    """Scale-shape pin: encoding is scan → Arrow UDF, no exchange."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    merges = train_bpe(word_counts(docs.limit(50)), n_merges=5)
+    plan = (
+        bpe_token_counts(docs, merges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan

@@ -96,3 +96,21 @@ def test_ppl_composition(spark):
     got = {r["doc_id"]: r["bucket"] for r in out.collect()}
     assert got[1] == "head"
     assert got[2] in ("middle", "tail") and got[2] != "head"
+
+
+def test_assign_buckets_scale_shape(spark):
+    """Scale-shape pins: per-group bounds join broadcasts the tiny
+    bounds relation; explicit global bounds compile to a pure
+    projection (no exchange, no Python)."""
+    df = _scored(spark)
+    bounds = bucket_bounds(df, "ppl", group_col="lang")
+    plan = (
+        assign_buckets(df, "ppl", bounds, group_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    flat = assign_buckets(df, "ppl", bounds=[5.0, 40.0])
+    fplan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in fplan
+    assert "Python" not in fplan  # CASE chain stays in codegen

@@ -123,3 +123,31 @@ def test_empty_sample_raises(spark):
         train_dsir(e, d)
     with pytest.raises(ValueError, match="non-empty"):
         train_dsir(d, e)
+
+
+def test_join_path_broadcasts_and_udf_path_shuffle_free(spark):
+    """Scale-shape pins: the join scoring path broadcasts the B-row
+    weight table (never shuffles the corpus by bucket), and the
+    broadcast-UDF path has no exchange at all."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    m = train_dsir(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        ngram_max=1,
+    )
+    plan = (
+        dsir_weights(docs, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    udf_plan = (
+        dsir_weights_broadcast(docs, m)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in udf_plan.replace("BroadcastExchange", "")
+    assert "ShuffleExchange" not in udf_plan
