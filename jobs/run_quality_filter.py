@@ -126,6 +126,10 @@ def main() -> None:
                          "(vec_id, cell, dropped)")
     ap.add_argument("--semdedup-tau", type=float, default=0.95)
     ap.add_argument("--semdedup-cells", type=int, default=1024)
+    ap.add_argument("--semdedup-keep", default="min_id",
+                    choices=("min_id", "low_centroid_sim"),
+                    help="survivor rule: engine-portable id dominance, "
+                         "or the paper's keep-least-similar-to-centroid")
     ap.add_argument("--semdedup-dim", type=int, default=None,
                     help="embedding dimension (default: inferred from "
                          "the first row)")
@@ -364,6 +368,7 @@ def main() -> None:
             dim=dim,
             tau=args.semdedup_tau,
             n_cells=args.semdedup_cells,
+            keep=args.semdedup_keep,
         )
         verdicts.write.mode("overwrite").parquet(
             os.path.join(args.output, "semantic_dups")

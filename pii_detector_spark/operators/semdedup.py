@@ -64,6 +64,7 @@ def semantic_dedup(
     centroids: "np.ndarray | None" = None,
     block: int = 2048,
     max_cell_rows: int = 2_000_000,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Per-document semantic-dup verdicts: (vec_id, cell, dropped).
 
@@ -73,7 +74,19 @@ def semantic_dedup(
     ``df`` holds, without re-clustering (same artifact contract as
     ``ivf_query``).  Filter ``~dropped`` to materialize the pruned
     corpus; the verdict form keeps both sides auditable.
+
+    ``keep`` picks the survivor rule:
+
+    * ``"min_id"`` (default) — drop x iff some y with id<x has
+      cos>=tau.  Engine-portable (a SQL EXISTS verifies the exact drop
+      set) and single-pass.
+    * ``"low_centroid_sim"`` — the paper's rule: union duplicate pairs
+      into groups and keep, per group, the member LEAST similar to its
+      cell centroid (ties → smallest id).  Keeps the ε-ball outskirts,
+      which the paper found preserves diversity best.
     """
+    if keep not in ("min_id", "low_centroid_sim"):
+        raise ValueError(f"unknown keep rule: {keep!r}")
     id_type = df.schema[id_col].dataType.simpleString()
     c = df.select(
         F.col(id_col).alias("vec_id"),
@@ -125,18 +138,51 @@ def semantic_dedup(
         n[n == 0.0] = 1.0  # zero vectors: cos defined as 0, never similar
         Xn = X / n
         dropped = np.zeros(m, dtype=bool)
-        for s in range(0, m, block):
-            e = min(s + block, m)
-            sims = Xn[s:e] @ Xn.T  # (block, m) tile
-            # strict lower triangle of the global matrix: y before x in
-            # id order.  Rows in this tile are ids[s:e]; candidate
-            # dominators are all columns j < row index.
-            for r in range(e - s):
-                gi = s + r
-                if gi == 0:
+        if keep == "min_id":
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                sims = Xn[s:e] @ Xn.T  # (block, m) tile
+                # strict lower triangle of the global matrix: y before x
+                # in id order.  Rows in this tile are ids[s:e]; candidate
+                # dominators are all columns j < row index.
+                for r in range(e - s):
+                    gi = s + r
+                    if gi == 0:
+                        continue
+                    if np.any(sims[r, :gi] >= tau):
+                        dropped[gi] = True
+        else:  # "low_centroid_sim": group duplicates, keep the outskirt
+            parent = np.arange(m)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                sims = Xn[s:e] @ Xn.T
+                for r in range(e - s):
+                    gi = s + r
+                    js = np.nonzero(sims[r, gi + 1 :] >= tau)[0] + gi + 1
+                    for j in js:
+                        ri, rj = find(gi), find(int(j))
+                        if ri != rj:
+                            parent[max(ri, rj)] = min(ri, rj)
+            cvec = np.asarray(centroids[cell], dtype=np.float64)
+            cn = np.linalg.norm(cvec)
+            csim = Xn @ (cvec / cn if cn > 0.0 else cvec)
+            groups: dict[int, list[int]] = {}
+            for i in range(m):
+                groups.setdefault(find(i), []).append(i)
+            for members in groups.values():
+                if len(members) < 2:
                     continue
-                if np.any(sims[r, :gi] >= tau):
-                    dropped[gi] = True
+                keeper = min(members, key=lambda i: (csim[i], ids[i]))
+                for i in members:
+                    if i != keeper:
+                        dropped[i] = True
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -149,3 +149,45 @@ def test_giant_cell_guard_raises(spark):
         semantic_dedup(
             df, dim=4, tau=0.99, n_cells=1, iters=1, max_cell_rows=3
         ).collect()
+
+
+def test_low_centroid_sim_keep_rule(spark):
+    """Paper rule: per duplicate group, the survivor is the member least
+    similar to the cell centroid; drop COUNT matches the min_id rule
+    (same groups, one survivor each)."""
+    import numpy as np
+    from pii_detector_spark.operators.semdedup import semantic_dedup as sd
+
+    # one cell (n_cells=1): centroid ≈ mean. Group {1,2,7} are mutual
+    # dups of [1,0,0,0]-ish; 2 is nudged furthest from the mean.
+    rows, df = _planted(spark)
+    out = sd(df, dim=4, tau=0.99, n_cells=1, iters=1,
+             keep="low_centroid_sim")
+    got = {r["vec_id"]: r["dropped"] for r in out.collect()}
+    baseline = sd(df, dim=4, tau=0.99, n_cells=1, iters=1)
+    base = {r["vec_id"]: r["dropped"] for r in baseline.collect()}
+    assert sum(got.values()) == sum(base.values())  # same group structure
+    # exactly one survivor among the {1,2,7} duplicate group
+    grp = [1, 2, 7]
+    assert sum(1 for g in grp if not got[g]) == 1
+    # the survivor is the argmin of centroid cosine within the group
+    vec = {r[0]: np.asarray(r[1]) for r in rows}
+    X = np.stack([vec[i] for i in sorted(vec)])
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    # centroid after one deterministic Lloyd step over the single cell
+    c = X.mean(axis=0)
+    c = c / np.linalg.norm(c)
+    sims = {i: float((vec[i] / max(np.linalg.norm(vec[i]), 1e-12)) @ c)
+            for i in grp}
+    survivor = min(grp, key=lambda i: (sims[i], i))
+    assert not got[survivor] and all(got[i] for i in grp if i != survivor)
+
+
+def test_keep_rule_validated(spark):
+    import pytest as _pt
+    from pii_detector_spark.operators.semdedup import semantic_dedup as sd
+
+    _, df = _planted(spark)
+    with _pt.raises(ValueError, match="keep rule"):
+        sd(df, dim=4, keep="bogus")
