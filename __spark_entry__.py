@@ -985,12 +985,14 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``stats``: whitespace + BPE-ish-regex counts (operators/textstats);
     - ``bpe_trained``: REAL BPE training + encoding (operators/bpe) on a
-      planted two-class corpus. Uniform scaling of word frequencies
-      preserves the greedy merge order, so the merge sequence on
-      {low low lower | newest widest} is size-invariant:
-      (l,o), (lo,w), (e,s), (es,t) — and per-class token counts are the
-      constants 8 / 10 the oracle derives from doc_id%2 without running
-      the tokenizer."""
+      planted corpus where EVERY doc carries the same text
+      ("low low lower newest widest"), so word frequencies scale by
+      exactly one factor (the doc count) at any corpus size and the
+      greedy merge order is provably size-invariant:
+      (l,o), (lo,w), (e,s), (es,t). Token count is the constant 18 the
+      oracle states without running the tokenizer. (A doc_id%2 two-class
+      plant would NOT be safe: the classes scale by the even/odd doc
+      counts independently, and an unbalanced shard flips merge 3.)"""
     stats = textstats.token_counts(_t(spark, sf_dir, "documents"))
     return _tagged_union({
         "stats": stats,
@@ -1006,10 +1008,9 @@ def _q_bpe_planted_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    text = F.when(
-        F.col("doc_id") % 2 == 0, F.lit("low low lower")
-    ).otherwise(F.lit("newest widest"))
-    planted = d.select("doc_id", text.alias("text"))
+    planted = d.select(
+        "doc_id", F.lit("low low lower newest widest").alias("text")
+    )
     merges = train_bpe(word_counts(planted), n_merges=4)
     out = bpe_token_counts(planted, merges)
     return out.join(planted, "doc_id").select(
@@ -2899,9 +2900,9 @@ FROM documents""",
             # trained-BPE constants derived in q_token_counts' docstring
             "bpe_trained": """
 SELECT doc_id::BIGINT AS doc_id,
-  (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END)::BIGINT AS ws_tokens,
-  (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 10 END)::BIGINT AS bpe_tokens,
-  13::BIGINT AS n_chars
+  5::BIGINT AS ws_tokens,
+  18::BIGINT AS bpe_tokens,
+  27::BIGINT AS n_chars
 FROM documents""",
         }),
         "fingerprints": """
@@ -3408,7 +3409,10 @@ FROM base b LEFT JOIN scored s USING (doc_id), consts c""",
         "dsir": """
 WITH g AS (
   SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                 trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')),
+                 ' ')) AS tok
         FROM documents)
   WHERE tok <> ''
 ),

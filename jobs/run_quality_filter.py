@@ -355,9 +355,16 @@ def main() -> None:
         from pii_detector_spark.operators.semdedup import semantic_dedup
 
         emb = spark.read.parquet(args.semdedup_embeddings)
-        dim = args.semdedup_dim or len(
-            emb.select("embedding").first()["embedding"]
-        )
+        dim = args.semdedup_dim
+        if not dim:
+            head = emb.select("embedding").first()
+            if head is None or head["embedding"] is None:
+                raise SystemExit(
+                    "--semdedup-embeddings: input has no rows (or a NULL "
+                    "first embedding); pass --semdedup-dim or fix the "
+                    "embeddings table"
+                )
+            dim = len(head["embedding"])
         verdicts = semantic_dedup(
             emb.select(
                 "vec_id",

@@ -45,14 +45,25 @@ from pyspark.sql.types import LongType
 EOW = "</w>"
 
 
+import re as _re
+
+_WS_RE = _re.compile("[ \\t\\n\\r\\f\\u000B]+")
+
+
 def word_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """(word, freq) over whitespace tokens — the one corpus-scale pass."""
+    """(word, freq) over whitespace tokens — the one corpus-scale pass.
+    Whitespace-CLASS tokenization (runs of blank chars = one separator,
+    the same class as ``textstats``/``dedup``), so multi-line text never
+    forms newline-joined pseudo-words."""
+    norm = F.trim(
+        F.regexp_replace(F.col(text_col), "[ \\t\\n\\r\\f\\u000B]+", " ")
+    )
     return (
         df.select(
             F.explode(
-                F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+                F.filter(F.split(norm, " "), lambda x: x != "")
             ).alias("word")
         )
         .groupBy("word")
@@ -137,7 +148,7 @@ def encode_text(text: str, ranks: dict[tuple[str, str], int],
     apply rule); pure function shared by the UDF and tests."""
     out: list[str] = []
     cache = cache if cache is not None else {}
-    for w in (text or "").split(" "):
+    for w in _WS_RE.split(text or ""):
         if not w:
             continue
         hit = cache.get(w)

@@ -98,6 +98,15 @@ def assign_buckets(
     if isinstance(bounds, DataFrame):
         if group_col is None:
             raise ValueError("per-group bounds need group_col")
+        # arity check (driver-side peek of the tiny relation): a bounds
+        # table built with a different fracs arity would otherwise
+        # silently mis-bucket (extra cutoffs ignored / missing ones NULL)
+        first = bounds.select(F.size("bounds").alias("n")).first()
+        if first is not None and int(first["n"]) != n_bounds:
+            raise ValueError(
+                f"{len(labels)} labels need {n_bounds} bounds per group, "
+                f"but the bounds relation has {int(first['n'])}"
+            )
         b = bounds.select(
             group_col,
             *[

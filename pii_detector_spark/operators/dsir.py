@@ -69,28 +69,28 @@ class DSIRModel:
     b_hex: int
 
 
+def _gram_col(text_col: str, n: int) -> Column:
+    """ALL overlapping word n-grams (multiset, document order) via the
+    codegen zero-width-lookahead extraction — the same whole-stage-
+    codegen shape as ``dedup.shingles_col`` (minus its distinct; DSIR
+    counts gram OCCURRENCES).  The earlier transform/slice/element_at
+    form was interpreted per element and re-split the text per gram
+    position — the exact HOF trap BENCH/PLANS.md documents."""
+    norm = F.trim(
+        F.regexp_replace(F.col(text_col), "[ \\t\\n\\r\\f\\u000B]+", " ")
+    )
+    body = " ".join(["[^ ]+"] * n)
+    rx = f"(?<![^ ])(?=({body}))"
+    return F.regexp_extract_all(norm, F.lit(rx), F.lit(1))
+
+
 def _grams(df: DataFrame, text_col: str, ngram_max: int) -> DataFrame:
     """Explode word 1..n-grams of ``text_col`` into a ``gram`` column.
-
-    Pure JVM array ops (split/transform/filter/flatten) — no Python in
-    the gram path on either the training or the join-scoring side."""
-    words = f"filter(split({text_col}, ' '), x -> x != '')"
-    parts = [words]
-    for n in range(2, ngram_max + 1):
-        # i is 0-based in transform; element_at is 1-based
-        joined = " , ' ', ".join(
-            [f"w"] + [f"element_at(ws, i + {k + 1})" for k in range(1, n)]
-        )
-        parts.append(
-            f"""
-            CASE WHEN size(ws) >= {n} THEN
-              transform(slice(ws, 1, size(ws) - {n - 1}),
-                        (w, i) -> concat({joined}))
-            ELSE slice(ws, 1, 0) END
-            """.replace("ws", f"({words})")
-        )
-    expr = f"flatten(array({', '.join(parts)}))"
-    return df.withColumn("gram", F.explode(F.expr(expr)))
+    Whitespace-class tokenization (runs of blank chars = one separator),
+    matching ``textstats``/``dedup``."""
+    cols = [_gram_col(text_col, n) for n in range(1, ngram_max + 1)]
+    arr = cols[0] if len(cols) == 1 else F.concat(*cols)
+    return df.withColumn("gram", F.explode(arr))
 
 
 def _bucket(gram: Column, b_hex: int) -> Column:
@@ -143,9 +143,16 @@ def train_dsir(
     w = F.log((F.col("c_t") + 1).cast("double") / F.lit(float(t_t + B))) - F.log(
         (F.col("c_r") + 1).cast("double") / F.lit(float(t_r + B))
     )
-    weights = counts.select(
+    # materialize the (≤B-row) weight table and release the cached counts
+    # — the model artifact must not pin executor storage for the rest of
+    # the application (ln still evaluates JVM-side, preserving the
+    # oracle's identical-doubles-into-libm contract)
+    weight_rows = counts.select(
         "bucket", F.round(w * _FP, 0).cast("long").alias("w_fp")
-    )
+    ).collect()
+    counts.unpersist()
+    spark = target.sparkSession
+    weights = spark.createDataFrame(weight_rows, "bucket string, w_fp long")
     default_fp = round(
         _FP * (math.log(1.0 / (t_t + B)) - math.log(1.0 / (t_r + B)))
     )
@@ -206,10 +213,13 @@ def dsir_weights_broadcast(
 
     @F.pandas_udf(LongType())
     def weigh(texts: pd.Series) -> pd.Series:
+        import re
+
         wm, dflt, nmax, bh = bc.value
+        ws_re = re.compile("[ \\t\\n\\r\\f\\u000B]+")
 
         def one(t: str) -> int:
-            words = [w for w in (t or "").split(" ") if w]
+            words = [w for w in ws_re.split(t or "") if w]
             total = 0
             for n in range(1, nmax + 1):
                 for i in range(len(words) - n + 1):

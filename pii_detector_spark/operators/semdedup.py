@@ -139,17 +139,20 @@ def semantic_dedup(
         Xn = X / n
         dropped = np.zeros(m, dtype=bool)
         if keep == "min_id":
+            # dominators must have STRICTLY smaller ids (the EXISTS rule
+            # the SQL oracle checks): with duplicate ids, positional
+            # j < i is not enough — limit each row to the first index of
+            # its own id in the sorted array.
+            lt = np.searchsorted(ids, ids, side="left")
             for s in range(0, m, block):
                 e = min(s + block, m)
                 sims = Xn[s:e] @ Xn.T  # (block, m) tile
-                # strict lower triangle of the global matrix: y before x
-                # in id order.  Rows in this tile are ids[s:e]; candidate
-                # dominators are all columns j < row index.
                 for r in range(e - s):
                     gi = s + r
-                    if gi == 0:
+                    lim = int(lt[gi])
+                    if lim == 0:
                         continue
-                    if np.any(sims[r, :gi] >= tau):
+                    if np.any(sims[r, :lim] >= tau):
                         dropped[gi] = True
         else:  # "low_centroid_sim": group duplicates, keep the outskirt
             parent = np.arange(m)

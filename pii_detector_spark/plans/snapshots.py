@@ -146,9 +146,15 @@ def commit_run_snapshot(output_dir: str, run_id: str) -> Snapshot:
 
 def catch_up_snapshots(output_dir: str) -> Snapshot | None:
     """Heal the marker→snapshot gap: any marker-committed run missing
-    from CURRENT (crash between the two commit points, or a pre-snapshot
-    table) is appended in one catchup snapshot.  Returns it, or None if
-    nothing was missing."""
+    from the ENTIRE snapshot history (crash between the two commit
+    points, or a pre-snapshot table) is appended in one catchup
+    snapshot.  Returns it, or None if nothing was missing.
+
+    Diffing markers against the whole log — not just CURRENT — is what
+    keeps ``rollback`` durable: a rolled-back run is absent from CURRENT
+    but present in an earlier snapshot, so it is NOT "missing" and is
+    never silently resurrected here (a crash-orphaned run has a marker
+    and appears in no snapshot at all)."""
     from pii_detector_spark.plans.pipeline import _commits_dir
 
     cdir = _commits_dir(output_dir)
@@ -158,7 +164,9 @@ def catch_up_snapshots(output_dir: str) -> Snapshot | None:
         else []
     )
     cur = current_snapshot_id(output_dir)
-    seen = set() if cur is None else set(load_snapshot(output_dir, cur).run_ids)
+    seen: set[str] = set()
+    for snap in snapshot_log(output_dir):
+        seen.update(snap.run_ids)
     missing = [r for r in marked if r not in seen]
     if not missing:
         return None
@@ -225,6 +233,18 @@ def expire_snapshots(
     dead: set[str] = set()
     for s in drop:
         dead.update(r for r in s.run_ids if r not in live)
+    # deletion ORDER is the crash contract: markers first (a crash after
+    # this point leaves unmarked partitions, which heal_uncommitted_runs
+    # already self-heals, and marker-less runs can never be catch_up-
+    # resurrected), data dirs second, expired v-files last (a v-file
+    # whose dead runs lost their data is itself moments from deletion;
+    # the surviving snapshots never reference dead runs).  Marker-
+    # implies-complete-data holds at every crash point.
+    for rid in dead:
+        try:
+            os.remove(_marker_path(output_dir, rid))
+        except FileNotFoundError:
+            pass
     removed: dict[str, list[str]] = {}
     for t in tables or HEALED_TABLES:
         tdir = os.path.join(output_dir, t)
@@ -240,11 +260,6 @@ def expire_snapshots(
     for s in drop:
         try:
             os.remove(_vpath(output_dir, s.snapshot_id))
-        except FileNotFoundError:
-            pass
-    for rid in dead:
-        try:
-            os.remove(_marker_path(output_dir, rid))
         except FileNotFoundError:
             pass
     return removed

@@ -100,3 +100,15 @@ def test_encode_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_whitespace_class_tokenization(spark):
+    """Newlines/tabs are separators, not word characters — no
+    newline-joined pseudo-words in the vocabulary."""
+    df = spark.createDataFrame(
+        [("end.\nStart\tmid  end.",)], "text string"
+    )
+    got = {r["word"]: r["freq"] for r in word_counts(df).collect()}
+    assert got == {"end.": 2, "Start": 1, "mid": 1}
+    ranks = {}
+    assert encode_text("a\nb", ranks) == ["a", EOW, "b", EOW]

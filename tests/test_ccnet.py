@@ -114,3 +114,12 @@ def test_assign_buckets_scale_shape(spark):
     fplan = flat._jdf.queryExecution().executedPlan().toString()
     assert "ShuffleExchange" not in fplan
     assert "Python" not in fplan  # CASE chain stays in codegen
+
+
+def test_bounds_relation_arity_mismatch_raises(spark):
+    df = _scored(spark)
+    quartiles = bucket_bounds(
+        df, "ppl", group_col="lang", fracs=(0.25, 0.5, 0.75)
+    )
+    with pytest.raises(ValueError, match="bounds per group"):
+        assign_buckets(df, "ppl", quartiles, group_col="lang")

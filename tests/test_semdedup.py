@@ -191,3 +191,18 @@ def test_keep_rule_validated(spark):
     _, df = _planted(spark)
     with _pt.raises(ValueError, match="keep rule"):
         sd(df, dim=4, keep="bogus")
+
+
+def test_duplicate_ids_follow_strict_exists(spark):
+    """Two rows sharing an id with cos>=tau: neither has a STRICTLY
+    smaller dominator, so neither drops (matching the SQL EXISTS rule);
+    a genuinely larger id still drops."""
+    rows = [
+        (5, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.999, 0.01, 0.0, 0.0]),   # same id, near-dup
+        (9, [1.0, 0.001, 0.0, 0.0]),    # larger id, dup of both
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, dim=4, tau=0.99, n_cells=1, iters=1).collect()
+    verdicts = sorted((r["vec_id"], r["dropped"]) for r in out)
+    assert verdicts == [(5, False), (5, False), (9, True)]

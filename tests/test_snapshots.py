@@ -130,3 +130,66 @@ def test_expire_snapshots_gc(spark, corpus_path, tmp_path_factory):
     assert n > 0
     with pytest.raises(ValueError):
         S.expire_snapshots(out, keep_last=0)
+
+
+def test_catch_up_respects_rollback(spark, two_runs):
+    """A rolled-back run is in HISTORY (not CURRENT) — catch_up must not
+    resurrect it into the visible set."""
+    out = two_runs
+    before = S.current_snapshot_id(out)
+    S.rollback(out, 1)
+    try:
+        assert S.catch_up_snapshots(out) is None  # s2 is not "missing"
+        cur = S.load_snapshot(out, S.current_snapshot_id(out))
+        assert cur.run_ids == ("s1",)
+    finally:
+        S.rollback(out, before)  # restore for other module-scoped tests
+
+
+def test_expire_crash_order_marker_first(
+    spark, corpus_path, tmp_path_factory, monkeypatch
+):
+    """Crash mid-expire (after markers, before data removal): the dead
+    run's partitions are marker-less, so heal_uncommitted_runs removes
+    them and catch_up cannot resurrect the run — marker-implies-complete-
+    data holds at the crash point."""
+    import shutil as _sh
+
+    out = str(tmp_path_factory.mktemp("snap_crash"))
+    half_dir = tmp_path_factory.mktemp("snap_crash_half")
+    half = str(half_dir / "half.parquet")
+    spark.read.parquet(corpus_path).limit(400).write.parquet(half)
+    run_pipeline(spark, half, out, run_id="c1")
+    run_pipeline(spark, corpus_path, out, run_id="c2")
+    S.rollback(out, 1)
+
+    real = _sh.rmtree
+    calls = {"n": 0}
+
+    def exploding(path, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 1:
+            raise RuntimeError("injected crash mid-expire")
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(
+        "pii_detector_spark.plans.snapshots.shutil.rmtree", exploding
+    )
+    with pytest.raises(RuntimeError, match="mid-expire"):
+        S.expire_snapshots(out, keep_last=1)
+    monkeypatch.undo()
+
+    from pii_detector_spark.plans.pipeline import (
+        heal_uncommitted_runs,
+        run_committed,
+    )
+
+    # marker already gone; data still on disk (rmtree crashed first call)
+    assert not run_committed(out, "c2")
+    assert S.catch_up_snapshots(out) is None  # no resurrection
+    healed = heal_uncommitted_runs(spark, out)
+    assert "docs" in healed and "c2" in healed["docs"]
+    n = S.read_table_at(
+        spark, out, "docs", schema=docs_table_schema()
+    ).count()
+    assert n > 0  # c1 view intact
