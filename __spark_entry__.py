@@ -298,13 +298,57 @@ def q_url_prefilters(spark: SparkSession, sf_dir: str) -> DataFrame:
       CLOSED-FORM expected strings per branch (independent of the regex
       chain);
     - ``kept``: canonical-url dedup (keep latest ``warc_ts`` capture per
-      canonical family) returning the surviving original urls.
+      canonical family) returning the surviving original urls;
+    - ``robots``: robots.txt compliance (operators/robots.py) — two
+      planted rule sets (longest-match Allow-under-Disallow + the
+      empty-Disallow idiom) filter a branch-constructed url corpus;
+      urls and verdicts are pure doc_id functions the oracle derives
+      without the parser.
     """
     return _tagged_union({
         "prefilters": _q_url_prefilters_part(spark, sf_dir),
         "canonical": _q_url_canonical_part(spark, sf_dir),
         "kept": _q_url_kept_part(spark, sf_dir),
+        "robots": _q_robots_part(spark, sf_dir),
     })
+
+
+def _q_robots_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_detector_spark.operators.robots import (
+        filter_disallowed,
+        parse_robots,
+    )
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [
+                (
+                    "r0.example.com",
+                    "User-agent: *\nDisallow: /private/\n"
+                    "Allow: /private/ok/\n",
+                ),
+                ("r1.example.com", "User-agent: *\nDisallow:\n"),
+            ],
+            "host string, robots_txt string",
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id").cast("string")
+    seg = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("private/x"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("private/ok/y"))
+        .otherwise(F.lit("public/z"))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://r"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".example.com/"), seg, F.lit("-"), k,
+        ).alias("url")
+    )
+    out = filter_disallowed(urls, rules)
+    # doc_id%4==0 lands on host r0 with path /private/x-… → disallowed;
+    # %4==2 (also r0) hits the longer Allow; odd ids are host r1 (allow-all)
+    return out.filter(F.col("robots_allowed")).select("url")
 
 
 def _q_url_prefilters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2773,6 +2817,16 @@ WITH g AS (
 SELECT 'https://www.site' || fam::VARCHAR || '.com/p?utm_x='
        || kept_id::VARCHAR AS url
 FROM g""",
+            # robots verdicts are a pure doc_id function (see
+            # _q_robots_part): only doc_id%4==0 is disallowed
+            "robots": """
+SELECT 'https://r' || (doc_id % 2)::VARCHAR || '.example.com/'
+       || CASE WHEN doc_id % 4 = 0 THEN 'private/x'
+               WHEN doc_id % 4 = 2 THEN 'private/ok/y'
+               ELSE 'public/z' END
+       || '-' || doc_id::VARCHAR AS url
+FROM documents
+WHERE doc_id % 4 <> 0""",
         }),
         "exact_dedup": """
 SELECT md5(text) AS content_md5, min(doc_id)::BIGINT AS canonical_id,

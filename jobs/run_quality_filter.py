@@ -80,6 +80,15 @@ def main() -> None:
                          "SECS seconds (driver-side, out-of-band); a "
                          "monitor treats a stale newest beat as a dead "
                          "instance (K5)")
+    ap.add_argument("--robots", default=None, metavar="PARQUET",
+                    help="parquet of (host, robots_txt) rows: BEFORE "
+                         "scanning, drop input urls the host's rules "
+                         "disallow (RFC 9309 longest-match semantics, "
+                         "agent --robots-agent); the filtered input is "
+                         "materialized at <output>/input_robots and "
+                         "scanned instead of --input")
+    ap.add_argument("--robots-agent", default="*",
+                    help="product token for --robots group selection")
     ap.add_argument("--canonical-dedup", action="store_true",
                     help="BEFORE scanning, collapse url families to one "
                          "capture each: canonicalize urls (tracking "
@@ -163,6 +172,26 @@ def main() -> None:
     from pii_detector_spark.plans.pipeline import run_pipeline
 
     input_path = args.input
+    if args.robots:
+        import os
+
+        from pyspark.sql import functions as F
+        from pii_detector_spark.operators.robots import (
+            filter_disallowed,
+            parse_robots,
+        )
+
+        rules = parse_robots(spark.read.parquet(args.robots))
+        allowed = (
+            filter_disallowed(
+                spark.read.parquet(input_path), rules,
+                agent=args.robots_agent,
+            )
+            .filter(F.col("robots_allowed"))
+            .drop("robots_allowed")
+        )
+        input_path = os.path.join(args.output, "input_robots")
+        allowed.write.mode("overwrite").parquet(input_path)
     if args.canonical_dedup:
         import os
 
@@ -171,7 +200,7 @@ def main() -> None:
         )
 
         deduped = keep_latest_per_canonical(
-            spark.read.parquet(args.input)
+            spark.read.parquet(input_path)  # composes with --robots
         )
         input_path = os.path.join(args.output, "input_canonical")
         deduped.write.mode("overwrite").parquet(input_path)

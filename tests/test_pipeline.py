@@ -1138,7 +1138,24 @@ def test_job_cli_dsir_ppl_semdedup_expire(
     src = tmp_path_factory.mktemp("dsr_src")
     urls = [f"https://dsr.example.com/{i}" for i in range(4)]
     texts = [river, fox, river + " tail words", fox + " extra bits"]
-    pq_.write_table(_delta_tbl(urls, texts), str(src / "p.parquet"))
+    # a fifth url the planted robots rules disallow: must never be scanned
+    pq_.write_table(
+        _delta_tbl(
+            urls + ["https://dsr.example.com/blocked/5"],
+            texts + [river + " blocked page"],
+        ),
+        str(src / "p.parquet"),
+    )
+    robots_dir = tmp_path_factory.mktemp("dsr_robots")
+    pq_.write_table(
+        pa_.table(
+            {
+                "host": ["dsr.example.com"],
+                "robots_txt": ["User-agent: *\nDisallow: /blocked/\n"],
+            }
+        ),
+        str(robots_dir / "r.parquet"),
+    )
 
     tgt_dir = tmp_path_factory.mktemp("dsr_tgt")
     pq_.write_table(
@@ -1175,6 +1192,7 @@ def test_job_cli_dsir_ppl_semdedup_expire(
         "--output", out,
         "--run-id", "dsr1",
         "--no-html",
+        "--robots", str(robots_dir / "r.parquet"),
         "--dsir-target", str(tgt_dir / "t.parquet"),
         "--ppl-buckets",
         "--semdedup-embeddings", str(emb_dir / "e.parquet"),
@@ -1194,6 +1212,13 @@ def test_job_cli_dsir_ppl_semdedup_expire(
             _os.path.join(out, "dsir_weights")
         ).collect()
     }
+    all_scanned = {
+        r["url"] for r in
+        spark.read.parquet(_os.path.join(out, "docs")).collect()
+    }
+    # the robots-disallowed url never entered the pipeline
+    assert "https://dsr.example.com/blocked/5" not in all_scanned
+    assert all_scanned == set(urls)
     kept = {
         r["url"] for r in
         spark.read.parquet(_os.path.join(out, "docs"))
