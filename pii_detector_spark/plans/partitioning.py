@@ -32,6 +32,48 @@ def salted_repartition(
     return df.repartition(num_partitions, F.xxhash64(F.col(key_col)))
 
 
+def _atomic_split_count(df: DataFrame, enough: int) -> "int | None":
+    """Upper bound on the number of NON-EMPTY scan tasks for a parquet
+    scan, or None when it cannot be determined metadata-only.
+
+    ``df.rdd.getNumPartitions()`` counts *planned* byte-range splits, but a
+    parquet ROW GROUP is the atomic split unit: a file written as one big
+    row group yields one non-empty task no matter how many byte ranges the
+    planner cut (every range not containing the row-group start produces
+    zero rows). Counting row groups in the input footers gives the real
+    ceiling. Metadata-only: ``inputFiles()`` uses the already-built file
+    index (no job), and footers are only opened when there are fewer files
+    than ``enough`` — at corpus scale the file count alone short-circuits.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= enough:
+        return len(files)
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(f).path)
+        elif "://" not in f:
+            path = f
+        else:
+            return None  # remote store: footer read is not metadata-cheap
+        try:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return None
+        if total >= enough:
+            return total
+    return total
+
+
 def ensure_min_parallelism(
     df: DataFrame, key_col: str, min_partitions: int | None = None
 ) -> DataFrame:
@@ -40,13 +82,22 @@ def ensure_min_parallelism(
     A parquet file written as one big row group scans as ONE task no matter
     how many cores exist (a row group is the atomic split unit), so every
     per-row stage downstream runs single-threaded. When the scan has fewer
-    partitions than the cluster's default parallelism, redistribute by the
-    hashed unique key; otherwise return the input untouched — at corpus
-    scale inputs arrive well-split and the shuffle would move the whole
-    table for nothing. The check is metadata-only (no job)."""
+    usable partitions than the cluster's default parallelism — counting
+    BOTH planned byte-range splits and the row-group ceiling (planned
+    splits overstate parallelism on single-row-group files) — redistribute
+    by the hashed unique key; otherwise return the input untouched — at
+    corpus scale inputs arrive well-split and the shuffle would move the
+    whole table for nothing. The check is metadata-only (no job)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    enough = max(2, target // 2)
+    planned = df.rdd.getNumPartitions()
+    effective = planned
+    if planned >= enough:
+        atomic = _atomic_split_count(df, enough)
+        if atomic is not None:
+            effective = min(planned, atomic)
+    if effective >= enough:
         return df
     return df.repartition(target, F.xxhash64(F.col(key_col)))
 
