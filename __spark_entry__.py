@@ -62,6 +62,16 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     return ensure_min_parallelism(_t(spark, sf_dir, name), key)
 
 
+def _guard(df: DataFrame, key: str) -> DataFrame:
+    """Under-split guard over an already-projected relation — same as
+    ``_t_wide`` but applied AFTER a narrow ``select`` so a firing
+    repartition shuffles only the projected columns (guide §2.3: project
+    before the exchange)."""
+    from pii_detector_spark.plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(df, key)
+
+
 def _docs_as_web_pages(docs: DataFrame) -> DataFrame:
     """Map the testdata documents table into the web_pages input shape."""
     return docs.select(
@@ -723,7 +733,9 @@ def q_extract_csv_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     with spaces, rows with newlines (reference file_service.py:353-390)."""
     from pii_detector_spark.sources.files import with_file_text
 
-    c = _t(spark, sf_dir, "customer")
+    # per-row Python csv sniffing over the whole customer table: the scan
+    # must be well-split (guide §2.5 input skew) or the UDF runs one-task
+    c = _t_wide(spark, sf_dir, "customer", "c_custkey")
     csv_str = F.concat(
         F.lit("name,city\nuser"),
         F.col("c_custkey").cast("string"),
@@ -1037,7 +1049,9 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle states without running the tokenizer. (A doc_id%2 two-class
       plant would NOT be safe: the classes scale by the even/odd doc
       counts independently, and an unbalanced shard flips merge 3.)"""
-    stats = textstats.token_counts(_t(spark, sf_dir, "documents"))
+    stats = textstats.token_counts(
+        _t_wide(spark, sf_dir, "documents", "doc_id")
+    )
     return _tagged_union({
         "stats": stats,
         "bpe_trained": _q_bpe_planted_part(spark, sf_dir),
@@ -1051,7 +1065,7 @@ def _q_bpe_planted_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_counts,
     )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _guard(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     planted = d.select(
         "doc_id", F.lit("low low lower newest widest").alias("text")
     )
@@ -1471,7 +1485,7 @@ def q_langid_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full rows+schema+hash langid oracle over a planted corpus: sentence
     (and therefore expected label) is a pure function of doc_id, so DuckDB
     derives the expected prediction without running the model."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _guard(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     text = F.element_at(
         F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
         (F.col("doc_id") % 5 + 1).cast("int"),
@@ -1492,7 +1506,7 @@ def q_word_ppl_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives without the model."""
     from pii_detector_spark.operators.langid import with_word_perplexity
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _guard(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     text = F.element_at(
         F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
         (F.col("doc_id") % 5 + 1).cast("int"),
@@ -1532,7 +1546,7 @@ def _q_ccnet_ppl_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_detector_spark.operators.ccnet import assign_buckets
     from pii_detector_spark.operators.langid import with_word_perplexity
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _guard(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     text = F.element_at(
         F.array(*[F.lit(s) for _lang, s in _LANG_PLANTS]),
         (F.col("doc_id") % 5 + 1).cast("int"),
@@ -1571,7 +1585,9 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, hence hash-identical across engines."""
     from pii_detector_spark.operators.nbquality import score_nb, train_nb
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _guard(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     marked = d.select(
         "doc_id",
         (F.col("doc_id") % 2 == 0).alias("label"),
@@ -1600,7 +1616,9 @@ def _q_dsir_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep flag is the weight's sign (resampling toward the target)."""
     from pii_detector_spark.operators.dsir import dsir_weights, train_dsir
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _guard(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     m = train_dsir(
         d.filter(F.col("doc_id") % 5 == 0),
         d.filter(F.col("doc_id") % 5 != 0),
@@ -1618,7 +1636,9 @@ def _q_dsir_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search over embeddings
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "embeddings").select(
+    # guard BEFORE the per-element cast so the (interpreted) transform and
+    # every downstream numpy kernel run on all cores, not one scan task
+    return _guard(_t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -1736,7 +1756,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal plumbing (binary payload + mapInPandas; codec stubbed)
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
@@ -1932,7 +1952,7 @@ def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents", "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         F.encode(F.repeat("text", 5), "utf-8").alias("payload"),
@@ -1985,7 +2005,7 @@ def _q_fix_text_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired literals per branch."""
     from pii_detector_spark.operators.textfix import fix_text_column
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents", "doc_id")
     k = F.col("doc_id").cast("string")
     b = F.col("doc_id") % 6
     damaged = (

@@ -567,13 +567,15 @@ def simhash64(
     only (doc_id, 8-byte hash) rows — never text — and the 60 conditional
     sums are a single aggregation pass (whole-stage codegen).
     """
-    # no repartition guard here: the map side is one codegen md5 per word
-    # (cheap), and the grouped aggregation's shuffle already spreads the
-    # heavy 60-vote stage across the cluster — a pre-shuffle of the text
-    # costs more than it saves (measured: 0.9s vs 2.4s at sf0.1)
-    tok = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(words_col(text_col))).alias("w"),
+    # under-split guard (r6): with the plain-key repartition, the grouped
+    # vote aggregation reuses the guard's HashPartitioning(doc_id) — so on
+    # a pathological input this costs ONE text shuffle and removes both the
+    # single-task tokenize/md5 map stage AND the gram-hash shuffle (the r5
+    # "pre-shuffle costs more" measurement predates the exchange reuse);
+    # well-split inputs pass through untouched as before.
+    tok = _slim_docs(df, id_col, text_col).select(
+        "doc_id",
+        F.explode(F.array_distinct(words_col("_text"))).alias("w"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),

@@ -65,6 +65,7 @@ def semantic_dedup(
     block: int = 2048,
     max_cell_rows: int = 2_000_000,
     keep: str = "min_id",
+    fanout: int | None = None,
 ) -> DataFrame:
     """Per-document semantic-dup verdicts: (vec_id, cell, dropped).
 
@@ -112,6 +113,43 @@ def semantic_dedup(
         )
     assigned = ivf_assign(c, centroids)
 
+    def _sorted_cell(pdf: pd.DataFrame):
+        """(ids sorted, normalized matrix in id order, sort order)."""
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.stack(pdf["vec"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )[order]
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0  # zero vectors: cos defined as 0, never similar
+        return ids, X / n, order
+
+    def _min_id_dropped(
+        ids: "np.ndarray", Xn: "np.ndarray", tidx: "np.ndarray"
+    ) -> "np.ndarray":
+        """dropped flags for the target rows ``tidx`` (indices into the
+        id-sorted cell): x is dropped iff some y with STRICTLY smaller id
+        has cos >= tau. With duplicate ids, positional j < i is not
+        enough — each row's candidate window ends at the first index of
+        its own id in the sorted array (the EXISTS rule the SQL oracle
+        checks). Fully vectorized: one (block × window) matmul and one
+        masked any() per tile — no per-row Python loop."""
+        lt = np.searchsorted(ids, ids, side="left")
+        out = np.zeros(len(tidx), dtype=bool)
+        for s in range(0, len(tidx), block):
+            e = min(s + block, len(tidx))
+            ti = tidx[s:e]
+            lim = lt[ti]
+            kmax = int(lim.max()) if len(lim) else 0
+            if kmax == 0:
+                continue
+            sims = Xn[ti] @ Xn[:kmax].T  # (tile, candidate window)
+            hits = (sims >= tau) & (
+                np.arange(kmax)[None, :] < lim[:, None]
+            )
+            out[s:e] = hits.any(axis=1)
+        return out
+
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m > max_cell_rows:
@@ -129,31 +167,10 @@ def semantic_dedup(
                     "dropped": np.zeros(m, dtype=bool),
                 }
             )
-        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
-        ids = pdf["vec_id"].to_numpy()[order]
-        X = np.stack(pdf["vec"].map(np.asarray).to_numpy()).astype(
-            np.float64
-        )[order]
-        n = np.linalg.norm(X, axis=1, keepdims=True)
-        n[n == 0.0] = 1.0  # zero vectors: cos defined as 0, never similar
-        Xn = X / n
+        ids, Xn, _ = _sorted_cell(pdf)
         dropped = np.zeros(m, dtype=bool)
         if keep == "min_id":
-            # dominators must have STRICTLY smaller ids (the EXISTS rule
-            # the SQL oracle checks): with duplicate ids, positional
-            # j < i is not enough — limit each row to the first index of
-            # its own id in the sorted array.
-            lt = np.searchsorted(ids, ids, side="left")
-            for s in range(0, m, block):
-                e = min(s + block, m)
-                sims = Xn[s:e] @ Xn.T  # (block, m) tile
-                for r in range(e - s):
-                    gi = s + r
-                    lim = int(lt[gi])
-                    if lim == 0:
-                        continue
-                    if np.any(sims[r, :lim] >= tau):
-                        dropped[gi] = True
+            dropped = _min_id_dropped(ids, Xn, np.arange(m))
         else:  # "low_centroid_sim": group duplicates, keep the outskirt
             parent = np.arange(m)
 
@@ -194,6 +211,105 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(
-        prune, schema=f"vec_id {id_type}, cell long, dropped boolean"
+    out_schema = f"vec_id {id_type}, cell long, dropped boolean"
+
+    # ---- parallelism shape -------------------------------------------------
+    # One task per CELL is the method's native parallelism (the paper's
+    # point: k ~ corpus/cell_size cells, each task-sized). When the caller
+    # asks for FEWER cells than the cluster has cores (the n_cells=1
+    # verification mode, or a tiny k), a per-cell task serializes the whole
+    # quadratic kernel. The min_id rule is a pure pairwise EXISTS (no
+    # chaining), so it parallelizes exactly: split the TARGET rows of each
+    # cell into `fanout` hash buckets, replicate the cell's candidate
+    # matrix to each bucket, and compute each bucket's verdicts in its own
+    # task. Replication multiplies the cell's shuffle bytes by `fanout`,
+    # so it is gated to the undersubscribed case — at scale n_cells >>
+    # cores and fanout stays 1 (no replication, the r5 shape unchanged).
+    if fanout is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        fanout = max(1, min(32, -(-par // max(n_cells, 1))))
+    if keep != "min_id":
+        fanout = 1  # union-find chaining needs the whole cell in one task
+
+    if fanout == 1:
+        return assigned.groupBy("cell").applyInPandas(
+            prune, schema=out_schema
+        )
+
+    def _cell_arrays(t):
+        """Zero-copy extraction of (ids, vec matrix) from an Arrow group —
+        the list column's flat values buffer reshapes to (m, dim) without
+        the per-row ``np.asarray`` walk the pandas path pays (guide §4.2:
+        hand whole Arrow buffers to numpy)."""
+        import pyarrow as pa  # noqa: F401
+
+        vec = t.column("vec").combine_chunks()
+        m = len(t)
+        offs = np.asarray(vec.offsets)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        if vec.null_count == 0 and np.array_equal(
+            offs, np.arange(m + 1, dtype=offs.dtype) * dim + offs[0]
+        ):
+            X = np.asarray(vec.values)[offs[0]: offs[0] + m * dim]
+            X = X.astype(np.float64, copy=False).reshape(m, dim)
+        else:  # ragged/null rows: per-row fallback (never hit on clean data)
+            X = np.stack(
+                [np.asarray(v.as_py(), dtype=np.float64) for v in vec]
+            )
+        return ids, X
+
+    def prune_bucket(t):
+        import pyarrow as pa
+
+        m = len(t)
+        if m > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell has {m} rows (> max_cell_rows="
+                f"{max_cell_rows}); raise n_cells so cell populations "
+                "stay task-sized (pairwise pruning is quadratic per cell)"
+            )
+        id_field = pa.field("vec_id", t.schema.field("vec_id").type)
+        if m == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], id_field.type),
+                    "cell": pa.array([], pa.int64()),
+                    "dropped": pa.array([], pa.bool_()),
+                }
+            )
+        cell = t.column("cell")[0].as_py()
+        tb = t.column("_tb")[0].as_py()
+        own = t.column("_own_tb").to_numpy(zero_copy_only=False)
+        ids, X = _cell_arrays(t)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = X[order]
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        tidx = np.nonzero(own[order] == tb)[0]
+        if m < 2:
+            dropped = np.zeros(len(tidx), dtype=bool)
+        else:
+            dropped = _min_id_dropped(ids, X / n, tidx)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[tidx], id_field.type),
+                "cell": pa.array(
+                    np.full(len(tidx), cell, dtype=np.int64), pa.int64()
+                ),
+                "dropped": pa.array(dropped, pa.bool_()),
+            }
+        )
+
+    rep = (
+        assigned.withColumn(
+            "_own_tb",
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(fanout)).cast("int"),
+        )
+        .withColumn(
+            "_tb", F.explode(F.array(*[F.lit(i) for i in range(fanout)]))
+        )
+    )
+    return rep.groupBy("cell", "_tb").applyInArrow(
+        prune_bucket, schema=out_schema
     )

@@ -99,7 +99,14 @@ def ensure_min_parallelism(
             effective = min(planned, atomic)
     if effective >= enough:
         return df
-    return df.repartition(target, F.xxhash64(F.col(key_col)))
+    # Repartition by the PLAIN key column, not a hash wrapper: Spark's
+    # HashPartitioning(key) satisfies the ClusteredDistribution of every
+    # downstream groupBy/join whose keys INCLUDE key, so doc-keyed
+    # aggregations over the redistributed relation reuse this exchange
+    # instead of re-shuffling their (much larger) exploded intermediates.
+    # A wrapped xxhash64(key) expression does not participate in that
+    # check. Unique ids hash uniformly either way.
+    return df.repartition(target, F.col(key_col))
 
 
 def page_by_key(
