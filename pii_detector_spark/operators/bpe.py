@@ -78,16 +78,41 @@ def _symbols(word: str) -> tuple[str, ...]:
 def train_bpe(
     counts: "DataFrame | list[tuple[str, int]]",
     n_merges: int,
+    min_freq: int = 2,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Greedy merge sequence from a (word, freq) relation.
 
-    The relation is vocabulary-sized training metadata (like the NB
-    weight table); the loop is pure Python on the driver.  Stops early
+    The driver-side loop is pure Python; what reaches the driver is
+    BOUNDED before the collect: at web scale the distinct-token relation
+    is corpus-like (hapax URLs / hex ids / typos grow near-linearly with
+    corpus size), not vocabulary-bounded, so an uncapped collect is a
+    driver OOM. ``min_freq`` drops the long tail and ``max_words`` caps
+    the vocabulary at the most frequent words (ties broken by word, so
+    the cut is deterministic). Both filters apply identically to the
+    DataFrame path (in Spark, before the collect) and the in-memory list
+    path, keeping the two bit-identical on the same counts. Stops early
     when no pair occurs twice."""
     if isinstance(counts, DataFrame):
-        rows = [(r["word"], int(r["freq"])) for r in counts.collect()]
+        filtered = counts.filter(F.col("freq") >= int(min_freq))
+        if max_words is not None:
+            # TakeOrdered: only the top-K rows ever reach the driver
+            filtered = filtered.orderBy(
+                F.col("freq").desc(), F.col("word")
+            ).limit(int(max_words))
+        rows = [(r["word"], int(r["freq"])) for r in filtered.collect()]
     else:
-        rows = list(counts)
+        # aggregate duplicate word entries BEFORE the frequency filter so
+        # the list path sees per-word totals exactly like the (already
+        # grouped) word_counts relation
+        agg: dict[str, int] = {}
+        for w, f in counts:
+            agg[w] = agg.get(w, 0) + int(f)
+        rows = [(w, f) for w, f in agg.items() if f >= int(min_freq)]
+        if max_words is not None:
+            rows = sorted(rows, key=lambda wf: (-wf[1], wf[0]))[
+                : int(max_words)
+            ]
     vocab: dict[tuple[str, ...], int] = {}
     for word, freq in rows:
         if word:

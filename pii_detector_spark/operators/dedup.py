@@ -172,12 +172,17 @@ def minhash_lsh_pairs(
         )
         for b in range(rows)
     ]
+    # band join on NARROW rows only (doc_id + 2 keys): the shingle sets are
+    # re-attached to the (small) candidate-pair relation afterwards, so the
+    # band self-join never shuffles payload arrays — previously the left
+    # side carried the shingle set through the exchange once per band
+    # (guide §2.3/§8: shuffle keys and metadata, attach payloads once)
     banded = sig.select(
-        "doc_id", "shingles", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
     left = banded.alias("a")
-    right = banded.select("doc_id", "band_id", "band_key").alias("b")
+    right = banded.alias("b")
     cand = (
         left.join(
             right,
@@ -188,15 +193,18 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sig.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
     )
     sh = sig.select(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     verified = (
-        cand.join(sh, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh, "id_b")
         .withColumn(
             "intersect_n", F.size(F.array_intersect("sh_a", "sh_b"))
         )

@@ -64,7 +64,12 @@ def _parse_one(host: str, txt: str) -> list[tuple]:
             if not group_open:
                 agents = []
                 group_open = True
-            agents.append(value.lower())
+            # an empty 'User-agent:' value would become token '' which
+            # F.lit(agent).contains('') matches for EVERY crawler,
+            # silently shadowing the host's '*' group — skip it (the
+            # group stays open; rules under only-empty agents are ignored)
+            if value:
+                agents.append(value.lower())
         elif field in ("allow", "disallow"):
             group_open = False
             if not agents:
@@ -111,8 +116,11 @@ def parse_robots(
 
 
 def _pattern_regex(pattern: str) -> str:
-    """REP wildcard pattern → anchored Java regex ('*' = any run, '$' =
-    end of path)."""
+    """REP wildcard pattern → anchored Python regex ('*' = any run, '$' =
+    end of path). NOT used by ``filter_disallowed`` (which builds the
+    equivalent translation JVM-side); kept as the independent reference
+    implementation that ``tests/test_robots.py`` pins the JVM
+    regexp_replace chain against, so the two cannot silently drift."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
     rx = "".join(
@@ -127,6 +135,7 @@ def filter_disallowed(
     agent: str = "*",
     url_col: str = "url",
     broadcast_rules: bool = True,
+    broadcast_max_rules: int | None = 2_000_000,
 ) -> DataFrame:
     """Adds ``robots_allowed`` (boolean) per url.
 
@@ -158,7 +167,14 @@ def filter_disallowed(
         .select("host", "allow", "pattern", "is_literal", "pat_len")
     )
     if broadcast_rules:
-        r = F.broadcast(r)
+        # size gate: a full-crawl host relation is ~10^8 hosts and its
+        # rule relation can exceed executor memory — broadcast only when
+        # the (ordinarily metadata-sized) relation is provably small.
+        # One cheap count aggregation decides; above the threshold the
+        # join falls back to a plain host-keyed shuffle. Pass
+        # broadcast_max_rules=None to force the hint unconditionally.
+        if broadcast_max_rules is None or r.count() <= broadcast_max_rules:
+            r = F.broadcast(r)
 
     joined = u.join(r, u["_host"] == r["host"], "left")
     # wildcard rules: REP pattern → anchored regex, built JVM-side.

@@ -85,12 +85,18 @@ def incremental_pipeline(
     for Iceberg's atomic multi-table commit).
     """
     from pii_detector_spark.plans.pipeline import heal_uncommitted_runs
+    from pii_detector_spark.plans.snapshots import catch_up_snapshots
 
     # heal ONCE at stream start — the only moment an unmarked partial can
     # exist is right after a crash, and per-batch healing would rescan all
     # tables' partition listings on every microbatch (O(batches²) metadata
-    # ops over the stream's life)
+    # ops over the stream's life). catch_up_snapshots closes the other
+    # crash window: a kill between mark_run_committed and
+    # commit_run_snapshot leaves a marker-committed batch missing from the
+    # snapshot log, and the replay-skip would otherwise return before ever
+    # publishing it — later snapshots would permanently omit that batch.
     heal_uncommitted_runs(spark, output_dir)
+    catch_up_snapshots(output_dir)
 
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)

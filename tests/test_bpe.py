@@ -112,3 +112,39 @@ def test_whitespace_class_tokenization(spark):
     assert got == {"end.": 2, "Start": 1, "mid": 1}
     ranks = {}
     assert encode_text("a\nb", ranks) == ["a", EOW, "b", EOW]
+
+
+def test_train_bpe_bounds_driver_collect(spark):
+    """Hapax-heavy corpus: min_freq drops the long tail BEFORE the driver
+    collect (the 100-TB driver-OOM guard), and the planted merge sequence
+    is unchanged when every real word clears the cutoff."""
+    from pyspark.sql import functions as F
+
+    junk = " ".join(f"junk{i:04d}" for i in range(500))
+    df = spark.createDataFrame(
+        [("low low lower newest widest",)] * 10 + [(junk,)],
+        "text string",
+    )
+    wc = word_counts(df)
+    # the exact relation train_bpe collects (freq >= 2): row-count pin —
+    # the 500 hapax tokens never reach the driver
+    assert wc.filter(F.col("freq") >= 2).count() == 4
+    clean = word_counts(
+        spark.createDataFrame(
+            [("low low lower newest widest",)] * 10, "text string"
+        )
+    )
+    assert train_bpe(wc, n_merges=4) == train_bpe(clean, n_merges=4)
+
+
+def test_train_bpe_max_words_cap_deterministic():
+    """The top-K vocabulary cap keeps the most frequent words with a
+    deterministic (freq desc, word asc) cut, identically on the list
+    path."""
+    counts = [(f"w{i}x", 5) for i in range(10)] + [("aaaa", 9)]
+    capped = train_bpe(counts, 2, min_freq=1, max_words=1)
+    assert capped == train_bpe([("aaaa", 9)], 2, min_freq=1)
+    # duplicate word entries aggregate before the min_freq filter
+    assert train_bpe(
+        [("abab", 1), ("abab", 1)], 1, min_freq=2
+    ) == train_bpe([("abab", 2)], 1, min_freq=2)
