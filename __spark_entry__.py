@@ -1636,11 +1636,12 @@ def _q_dsir_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search over embeddings
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # guard BEFORE the per-element cast so the (interpreted) transform and
-    # every downstream numpy kernel run on all cores, not one scan task
+    # guard BEFORE the cast so every downstream numpy kernel runs on all
+    # cores, not one scan task; native array cast (codegen) instead of the
+    # interpreted per-element transform lambda
     return _guard(_t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
     )
 
 

@@ -174,13 +174,16 @@ def lsh_bucket_topk(
     buy recall, more planes cut candidates per bucket. Only same-bucket
     rows are ever scored — the corpus is never cross-joined.
 
-    Scoring shape: COGROUPED ``applyInPandas`` on (table_id, bucket) — each
-    bucket's corpus vectors and query vectors cross the Arrow boundary once
-    and one numpy matmul scores the whole bucket. The earlier join form
-    materialized (vec, qvec) per candidate PAIR (each vector shipped once
-    per candidate — the same traffic trap measured 3x on
-    embedding_neardup). Cross-table duplicates resolve in a cheap
-    (query_id, vec_id) max-agg of 8-byte score rows.
+    Scoring shape: the query side is the small probe set (the operator's
+    contract — queries search only their buckets), so it BROADCASTS and
+    the candidate join runs map-side inside the corpus scan stage: corpus
+    vectors never shuffle at all, and each surviving candidate pair is
+    scored by the Arrow-batched numpy cosine in the same stage. The
+    earlier cogrouped-``applyInPandas`` form shuffled the whole
+    bucket-exploded corpus (vectors included) through TWO exchanges and
+    paid per-group pandas conversion for hundreds of groups — measured
+    ~2x slower end-to-end at sf1.0. Cross-table duplicates resolve in a
+    cheap (query_id, vec_id) max-agg of 8-byte score rows.
     """
     buckets = lsh_buckets_udf(dim, n_planes, n_tables)
     c = corpus.select(
@@ -200,35 +203,14 @@ def lsh_bucket_topk(
         F.posexplode(buckets(F.col("qvec"))).alias("table_id", "bucket"),
     )
 
-    def score(cg, qg):
-        if not len(cg) or not len(qg):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "vec_id": pd.Series([], dtype="int64"),
-                    "cosine": pd.Series([], dtype="float64"),
-                }
-            )
-        cids = cg["vec_id"].to_numpy().astype(np.int64)
-        qids = qg["query_id"].to_numpy().astype(np.int64)
-        X = np.stack(cg["vec"].map(np.asarray).to_numpy()).astype(np.float64)
-        Y = np.stack(qg["qvec"].map(np.asarray).to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
-        sims = Xn @ Yn.T  # (corpus, queries)
-        ci, qi = np.nonzero(cids[:, None] != qids[None, :])
-        return pd.DataFrame(
-            {
-                "query_id": qids[qi],
-                "vec_id": cids[ci],
-                "cosine": sims[ci, qi],
-            }
-        )
-
     scored = (
-        c.groupBy("table_id", "bucket")
-        .cogroup(q.groupBy("table_id", "bucket"))
-        .applyInPandas(score, schema="query_id long, vec_id long, cosine double")
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_pd(F.col("vec"), F.col("qvec")).alias("cosine"),
+        )
         # same (query_id, vec_id) found in several tables: identical score,
         # max() dedups without another distinct pass over vectors
         .groupBy("query_id", "vec_id")

@@ -106,6 +106,12 @@ def ensure_min_parallelism(
     # instead of re-shuffling their (much larger) exploded intermediates.
     # A wrapped xxhash64(key) expression does not participate in that
     # check. Unique ids hash uniformly either way.
+    # coalesce first: a pathological input has far fewer non-empty splits
+    # than planned byte ranges (hundreds of empty scan tasks are pure
+    # scheduling overhead); merging them is shuffle-free and the
+    # repartition restores parallelism right after.
+    if planned > target:
+        df = df.coalesce(target)
     return df.repartition(target, F.col(key_col))
 
 
