@@ -73,12 +73,23 @@ def with_repetition_metrics(
     """(doc_id, n_chars, top_{n}gram_char_frac…, dup_{n}gram_char_frac…).
 
     Docs with no qualifying grams (or empty text) get 0.0 fractions.
+
+    Shape (r6): every metric is a pure function of ONE document, so the
+    whole computation runs inside the scan stage as a single
+    ``mapInArrow`` pass — ZERO shuffles (the r5 form exploded ~9× word
+    count gram rows into a corpus-wide groupBy; the fused 9-regex codegen
+    projection it used also JIT-warmed so slowly that the first post-warm
+    run still paid 3×). Per batch: one whitespace split per doc, word
+    hashes once, then per n a vectorized rolling-hash gram key + length
+    (numpy) and a unique/count per doc — guide §4.2, whole batches to
+    vectorized native code. Gram identity uses 64-bit hashing exactly like
+    the r5 xxhash64 keying (collisions WITHIN one (doc, n) are the only
+    ones that matter: ~2⁻⁶⁴·grams² per doc — negligible).
     """
     from pii_detector_spark.plans.partitioning import ensure_min_parallelism
 
-    # CPU-bound regex extraction per row: guard against pathologically
-    # under-split scans (a one-row-group parquet is ONE task no matter the
-    # cores — measured 6x here); well-split inputs pass through untouched
+    # CPU-bound per-row work: guard against pathologically under-split
+    # scans; well-split inputs pass through untouched
     base = ensure_min_parallelism(
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),
@@ -87,86 +98,92 @@ def with_repetition_metrics(
         ),
         "doc_id",
     )
-    # all n in ONE corpus scan: a per-n UNION of exploded relations re-reads
-    # the text column once per n (9 scans at 100 TB); nesting the n loop
-    # into an array-of-structs keeps it to one scan, with the 9 regex
-    # passes fused into one codegen projection
-    per_n = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("n"),
-                ngrams_all_col(n, "_text").alias("gs"),
-            )
-            for n in sorted(set(top_ns) | set(dup_ns))
-        ]
+    all_ns = tuple(sorted(set(top_ns) | set(dup_ns)))
+    top_set, dup_set = tuple(top_ns), tuple(dup_ns)
+
+    def compute(batches):
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile("[ \\t\\n\\r\\f\\u000B]+")
+        # gram key K(i,n) = Σ_j h[i+j]·C^j (mod 2^64) with a fixed odd
+        # constant C: position-weighted word hashes distinguish grams
+        # exactly as well as hashing the joined string (64-bit identity)
+        for batch in batches:
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+            texts = batch["_text"].to_pylist()
+            m = len(texts)
+            out: dict[str, "np.ndarray"] = {
+                "doc_id": doc_ids.astype(np.int64),
+                "n_chars": n_chars.astype(np.int64),
+            }
+            tops = {n: np.zeros(m, dtype=np.float64) for n in top_set}
+            dups = {n: np.zeros(m, dtype=np.float64) for n in dup_set}
+            for r in range(m):
+                t = texts[r]
+                nc = int(n_chars[r])
+                if not t or nc <= 0:
+                    continue
+                words = [w for w in ws.split(t) if w]
+                if len(words) < min(all_ns):
+                    continue
+                # hash() is salted per process but consistent within one —
+                # and gram identity only ever compares within one doc
+                h = np.array(
+                    [hash(w) & 0xFFFFFFFFFFFFFFFF for w in words],
+                    dtype=np.uint64,
+                )
+                wl = np.array([len(w) for w in words], dtype=np.int64)
+                # cumulative normalized length: gram(i, n) length =
+                # cum[i+n] - cum[i] - 1 (words + single spaces)
+                cum = np.zeros(len(words) + 1, dtype=np.int64)
+                np.cumsum(wl + 1, out=cum[1:])
+                for n in all_ns:
+                    g = len(words) - n + 1
+                    if g <= 0:
+                        break  # all_ns ascending: larger n can't fit either
+                    key = h[:g].copy()
+                    mult = 1
+                    for j in range(1, n):
+                        # python-int modular multiply: numpy SCALAR uint64
+                        # overflow warns, vector ops wrap silently
+                        mult = (mult * 0x9E3779B97F4A7C15) & (
+                            (1 << 64) - 1
+                        )
+                        key += h[j : j + g] * np.uint64(mult)
+                    glen = cum[n:] - cum[:-n] - 1
+                    uk, first, cnt = np.unique(
+                        key, return_index=True, return_counts=True
+                    )
+                    ul = glen[first]
+                    if n in tops:
+                        # most common, ties to the longer gram
+                        packed = cnt.astype(np.int64) * (1 << 31) + ul
+                        best = int(np.argmax(packed))
+                        tops[n][r] = (
+                            int(cnt[best]) * int(ul[best])
+                        ) / nc
+                    if n in dups:
+                        dup_mask = cnt >= 2
+                        if dup_mask.any():
+                            dups[n][r] = int(
+                                (cnt[dup_mask] * ul[dup_mask]).sum()
+                            ) / nc
+            for n in top_set:
+                out[f"top_{n}gram_char_frac"] = tops[n]
+            for n in dup_set:
+                out[f"dup_{n}gram_char_frac"] = dups[n]
+            yield pa.RecordBatch.from_pydict(out)
+
+    schema = ", ".join(
+        ["doc_id long", "n_chars long"]
+        + [f"top_{n}gram_char_frac double" for n in top_set]
+        + [f"dup_{n}gram_char_frac double" for n in dup_set]
     )
-    grams = (
-        base.select("doc_id", F.explode(per_n).alias("x"))
-        .select("doc_id", F.col("x.n").alias("n"), F.explode("x.gs").alias("g"))
-        .select(
-            "doc_id",
-            "n",
-            # xxhash64, not md5: the key only needs to distinguish grams
-            # WITHIN one (doc, n) group (a 64-bit collision there is
-            # ~2^-64 × grams² per doc — negligible), and the 8-byte long
-            # both hashes faster and shuffles 4× narrower than a 32-char
-            # md5 string (measured ~5× end-to-end at sf0.1)
-            F.xxhash64("g").alias("gkey"),
-            F.length("g").cast("long").alias("glen"),
-        )
-    )
-    counts = grams.groupBy("doc_id", "n", "gkey").agg(
-        F.count(F.lit(1)).alias("cnt"), F.max("glen").alias("glen")
-    )
-    # Two-level aggregation, both fully primitive/codegen:
-    # 1. per (doc_id, n): "most common, ties to longer" as ONE max over a
-    #    packed long key = cnt·2^31 + glen (glen < 2^31 always — a string
-    #    length; the product fits a long), plus the duplicated-gram char
-    #    sum. Map-side partial aggregation shrinks the gram-count relation
-    #    (tens of millions of rows) to docs×9 partials before the shuffle.
-    # 2. per doc_id: pivot the 9 n-values with conditional aggs — now over
-    #    the tiny per-(doc,n) relation, not the gram counts. (A single
-    #    groupBy(doc_id) with 9 conditional aggs evaluated every condition
-    #    against every gram-count row: measured 5x slower at sf0.1; a
-    #    max-of-STRUCT form was worse still — ObjectHashAggregate with
-    #    interpreted struct comparisons.)
-    packed = F.col("cnt") * F.lit(1 << 31).cast("long") + F.col("glen")
-    per_dn = counts.groupBy("doc_id", "n").agg(
-        F.max(packed).alias("_t"),
-        F.sum(
-            F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen"))
-        ).alias("_d"),
-    )
-    aggs = [
-        F.max(F.when(F.col("n") == n, F.col("_t"))).alias(f"_t{n}")
-        for n in top_ns
-    ] + [
-        F.max(F.when(F.col("n") == n, F.col("_d"))).alias(f"_d{n}")
-        for n in dup_ns
-    ]
-    per_doc = per_dn.groupBy("doc_id").agg(*aggs)
-    out = base.select("doc_id", "n_chars").join(per_doc, "doc_id", "left")
-    nc = F.col("n_chars")
-    for n in top_ns:
-        t = F.col(f"_t{n}")
-        cnt = F.shiftright(t, 31)
-        glen = t.bitwiseAND(F.lit((1 << 31) - 1).cast("long"))
-        out = out.withColumn(
-            f"top_{n}gram_char_frac",
-            F.when(
-                t.isNotNull() & (nc > 0),
-                (cnt * glen) / nc,
-            ).otherwise(F.lit(0.0)),
-        )
-    for n in dup_ns:
-        d = F.col(f"_d{n}")
-        out = out.withColumn(
-            f"dup_{n}gram_char_frac",
-            F.when(d.isNotNull() & (nc > 0), d / nc).otherwise(F.lit(0.0)),
-        )
-    return out.drop(
-        *[f"_t{n}" for n in top_ns], *[f"_d{n}" for n in dup_ns]
-    )
+    return base.mapInArrow(compute, schema=schema)
 
 
 def apply_repetition_rules(
