@@ -376,3 +376,38 @@ def perplexity(text: str) -> float:
     ids = char_table[codes]
     lps = table[ids[:-1], ids[1:]]
     return math.exp(-float(lps.sum()) / len(lps))
+
+
+def lang_and_perplexity(text: str) -> tuple[str, float]:
+    """``(predict_lang(text), perplexity(text))`` with the shared
+    normalization (slice → lower → digit-sub → utf-32 encode) computed
+    ONCE — the fused pipeline calls both per document and the table
+    lookups/sums are identical expression for expression, so the results
+    are bit-equal to the separate calls (predict_lang's space padding is
+    reproduced by concatenating the space codepoint around the shared
+    code array)."""
+    if not text:
+        return "unk", float("inf")
+    import numpy as np
+
+    s = _DIGITS.sub("0", text[:_MAX_DOC_CHARS].lower())
+    codes = np.frombuffer(
+        s.encode("utf-32-le", "replace"), dtype="<u4"
+    ).astype(np.int64)
+    if len(text) < 2:
+        ppl = float("inf")
+    else:
+        char_table, _, table = _fast_lm()
+        ids = char_table[codes]
+        lps = table[ids[:-1], ids[1:]]
+        ppl = math.exp(-float(lps.sum()) / len(lps))
+    if len(s) < 5:
+        return "unk", ppl
+    char_table3, K3, lookup, mat = _fast_scorer()
+    padded = np.concatenate(
+        (np.array([32], dtype=np.int64), codes,
+         np.array([32], dtype=np.int64))
+    )
+    ids3 = char_table3[padded]
+    rows = lookup[(ids3[:-2] * K3 + ids3[1:-1]) * K3 + ids3[2:]]
+    return LANGS[int(mat[rows].sum(axis=0).argmax())], ppl

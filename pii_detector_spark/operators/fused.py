@@ -39,7 +39,7 @@ from pyspark.sql.types import (
 )
 
 from pii_detector_spark.config import QualityThresholds
-from pii_detector_spark.functions.langmodels import perplexity, predict_lang
+from pii_detector_spark.functions.langmodels import lang_and_perplexity
 from pii_detector_spark.functions.textnorm import extract_text_from_html
 from pii_detector_spark.functions.toxicity import TOXIC_SET
 from pii_detector_spark.operators.quality import (
@@ -162,8 +162,8 @@ def process_document(url: str, text: str, t: QualityThresholds) -> dict:
     lowered = set(words)
     stop_hits = len(lowered & _STOPSET)
     toxic = not lowered.isdisjoint(TOXIC_SET)
-    lang = predict_lang(text)
-    ppl = min(perplexity(text), 1e9)
+    lang, ppl = lang_and_perplexity(text)
+    ppl = min(ppl, 1e9)
 
     reason = None
     if nw == 0:
@@ -298,8 +298,14 @@ def with_fused_processing(
     except Exception:  # e.g. Spark Connect: no SparkContext → closure ship
         bc = None
     udf = make_fused_udf(t, broadcast=bc)
+    # the UDF reads text ONLY when html is null — null out the redundant
+    # copy so it never crosses the Arrow boundary (guide §4.1: control the
+    # columns, and the bytes, that cross)
+    text_arg = F.when(
+        F.col("html").isNull(), F.col("text")
+    ).otherwise(F.lit(None).cast("string"))
     out = df.withColumn(
-        "_d", udf(F.col("url"), F.col("html"), F.col("text"))
+        "_d", udf(F.col("url"), F.col("html"), text_arg)
     ).drop("html", "text")
     for f in FUSED_RESULT_TYPE.fields:
         out = out.withColumn(f.name, F.col(f"_d.{f.name}"))

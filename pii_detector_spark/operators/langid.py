@@ -29,12 +29,13 @@ LANG_RESULT_TYPE = StructType(
 
 
 def _langid_batch(texts: pd.Series) -> pd.DataFrame:
+    from pii_detector_spark.functions.langmodels import lang_and_perplexity
+
     langs: list[str] = []
     ppls: list[float] = []
     for t in texts:
-        t = t or ""
-        langs.append(predict_lang(t))
-        p = perplexity(t)
+        lang, p = lang_and_perplexity(t or "")
+        langs.append(lang)
         # Arrow chokes on inf in some writers; cap to a large sentinel that
         # still fails every threshold
         ppls.append(min(p, 1e9))
