@@ -622,7 +622,12 @@ def q_extract_office_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(texts, dtype="object")
 
     office_udf = F.pandas_udf(_extract_batch, returnType="string")
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d = _guard(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id"),
+        "doc_id",
+    )
     both = d.select(
         F.concat(
             F.lit("https://files.example.com/m"),
@@ -668,17 +673,18 @@ def q_extract_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import BinaryType
 
     pdf_udf = F.pandas_udf(_pdf_batch, returnType=BinaryType())
-    d = (
+    d = _guard(
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
-        .select(
-            F.concat(
-                F.lit("https://files.example.com/p"),
-                F.col("doc_id").cast("string"),
-                F.lit(".pdf"),
-            ).alias("url"),
-            pdf_udf(F.col("doc_id")).alias("html"),
-        )
+        .select("doc_id"),
+        "doc_id",
+    ).select(
+        F.concat(
+            F.lit("https://files.example.com/p"),
+            F.col("doc_id").cast("string"),
+            F.lit(".pdf"),
+        ).alias("url"),
+        pdf_udf(F.col("doc_id")).alias("html"),
     )
     return with_file_text(d).select("url", "text")
 
@@ -706,7 +712,12 @@ def q_extract_legacy_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import BinaryType
 
     legacy_udf = F.pandas_udf(_legacy_batch, returnType=BinaryType())
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d = _guard(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id"),
+        "doc_id",
+    )
     both = d.select(
         F.concat(
             F.lit("https://files.example.com/l"),

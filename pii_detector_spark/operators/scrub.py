@@ -79,6 +79,34 @@ PERSON_CATEGORY_INDEX = -1
 _DIGIT_RX = re.compile(r"\d")
 _UPPER_RX = re.compile(r"[A-Z]")
 
+_BATTERY_PLAN = None
+
+
+def _battery_plan():
+    """Per-spec dispatch tuples hoisted out of the per-document loop:
+    attribute lookups on 28 PatternSpec objects per document measurably
+    add up in the fused hot path; the compiled artifacts are identical."""
+    global _BATTERY_PLAN
+    if _BATTERY_PLAN is None:
+        guards = compiled_guards()
+        guards_low = compiled_guards_lowered()
+        _BATTERY_PLAN = [
+            (
+                idx,
+                spec.name,
+                spec.needs_digit,
+                spec.needs_digit_or_upper,
+                spec.guards_all,
+                spec.guards,
+                guards[idx],
+                guards_low[idx],
+                spec.kind == "credential",
+                rx.finditer,
+            )
+            for idx, (spec, rx) in enumerate(compiled_battery())
+        ]
+    return _BATTERY_PLAN
+
 
 def detect(text: str, include_person: bool = False) -> list[Match]:
     """All matches in canonical category order (PERSON first when enabled,
@@ -93,32 +121,38 @@ def detect(text: str, include_person: bool = False) -> list[Match]:
     if include_person and has_upper:  # names require a capital letter
         for value, start, end, _score in detect_person(text):
             out.append((PERSON_CATEGORY_INDEX, PERSON_ENTITY, start, end, value))
-    exclude = compiled_secret_exclude()
-    guards = compiled_guards()
-    guards_low = compiled_guards_lowered()
-    for idx, (spec, rx) in enumerate(compiled_battery()):
-        if spec.needs_digit and not has_digit:
+    exclude_search = compiled_secret_exclude().search
+    for (
+        idx,
+        name,
+        needs_digit,
+        needs_du,
+        guards_all,
+        guards_any,
+        guard,
+        guard_low,
+        is_cred,
+        finditer,
+    ) in _battery_plan():
+        if needs_digit and not has_digit:
             continue
-        if spec.needs_digit_or_upper and not (has_digit or has_upper):
+        if needs_du and not (has_digit or has_upper):
             continue
-        if spec.guards_all and not all(g in lowered for g in spec.guards_all):
+        if guards_all and not all(g in lowered for g in guards_all):
             continue
-        if spec.guards and not any(g in lowered for g in spec.guards):
+        if guards_any and not any(g in lowered for g in guards_any):
             continue
-        g = guards[idx]
-        if g is not None and g.search(text) is None:
+        if guard is not None and guard.search(text) is None:
             continue
-        g = guards_low[idx]
-        if g is not None and g.search(lowered) is None:
+        if guard_low is not None and guard_low.search(lowered) is None:
             continue
-        is_cred = spec.kind == "credential"
-        for m in rx.finditer(text):
+        for m in finditer(text):
             value = m.group()
             if not value:
                 continue
-            if is_cred and exclude.search(value):
+            if is_cred and exclude_search(value):
                 continue
-            out.append((idx, spec.name, m.start(), m.end(), value))
+            out.append((idx, name, m.start(), m.end(), value))
     return out
 
 
