@@ -60,6 +60,30 @@ class PatternSpec:
     # engine's literal-prefix skip optimization. Quantifiers must allow
     # for lower()'s rare one-to-many expansions (e.g. U+0130 -> 2 chars).
     guard_rx_lowered: str = ""
+    # sound first-character class of every possible match (e.g. "[0-9]"
+    # for an all-digit pattern): compiled_battery wraps the UNCHANGED
+    # regex as (?=first_rx)(?:regex), a zero-width gate the engine tests
+    # FIRST at every scan position — one charclass check instead of
+    # initializing every alternation branch. Matches are provably
+    # identical (the lookahead consumes nothing and every match satisfies
+    # it by construction); equality with the ungated compile is pinned by
+    # tests/test_scrub.py::test_first_rx_gate_equivalence. Only worth
+    # setting when the class is RARE in prose (digits/uppercase) — a
+    # letter-class gate is true at most positions and just adds overhead
+    # (measured: IN_PAN/CRYPTO/MEDICAL_LICENSE regress with one).
+    first_rx: str = ""
+
+
+def _gated_regex(spec: "PatternSpec") -> str:
+    """The compile-time source for a spec: regex wrapped with its
+    ``first_rx`` gate (leading global-flag groups like ``(?i)`` must stay
+    at the expression start, so they are peeled outside the wrap)."""
+    if not spec.first_rx:
+        return spec.regex
+    m = re.match(r"^(\(\?[aiLmsux]+\))", spec.regex)
+    if m:
+        return f"{m.group(1)}(?={spec.first_rx})(?:{spec.regex[m.end():]})"
+    return f"(?={spec.first_rx})(?:{spec.regex})"
 
 
 # --- 13 PII patterns (reference regex_patterns.py:5-52, order :196-212) ----
@@ -82,6 +106,7 @@ _PII: list[PatternSpec] = [
         r"\b((4\d{3})|(5[0-5]\d{2})|(6\d{3})|(1\d{3})|(3\d{3}))[- ]?(\d{3,4})[- ]?(\d{3,4})[- ]?(\d{3,5})\b",
         "pii",
         needs_digit=True,
+        first_rx="[0-9]",
     ),
     PatternSpec(
         "EMAIL_ADDRESS",
@@ -107,18 +132,21 @@ _PII: list[PatternSpec] = [
         r"\b([0-9]{3})[-.]?([0-9]{2})[-.]?([0-9]{4})\b",
         "pii",
         needs_digit=True,
+        first_rx="[0-9]",
     ),
     PatternSpec(
         "UK_NHS",
         r"\b([0-9]{3})[- ]?([0-9]{3})[- ]?([0-9]{4})\b",
         "pii",
         needs_digit=True,
+        first_rx="[0-9]",
     ),
     PatternSpec(
         "US_ITIN",
         r"\b9\d{2}[- ]?(5\d|6[0-5]|7\d|8[0-8]|9([0-2]|[4-9]))[- ]?\d{4}\b",
         "pii",
         needs_digit=True,
+        first_rx="[0-9]",
     ),
     # NOTE: the literal spaces around `|` and the mid-pattern (?i) are the
     # reference's (regex_patterns.py:25); (?i) rewritten scoped for py3.11.
@@ -138,6 +166,9 @@ _PII: list[PatternSpec] = [
         r"(\b([0-9]{6,14}|[0-9]{16})\b)",
         "pii",
         needs_digit_or_upper=True,
+        # every alternative starts [A-Z], a letter literal (H/V/X/A), or a
+        # digit ('*' only ever appears after the first char)
+        first_rx="[A-Z0-9]",
     ),
     PatternSpec(
         "MEDICAL_LICENSE",
@@ -151,6 +182,7 @@ _PII: list[PatternSpec] = [
         r"\b[0-9]{8,17}\b",
         "pii",
         needs_digit=True,
+        first_rx="[0-9]",
     ),
 ]
 
@@ -350,8 +382,11 @@ PHI_PATTERN = (
 
 @lru_cache(maxsize=1)
 def compiled_battery() -> tuple[tuple[PatternSpec, "re.Pattern[str]"], ...]:
-    """Compile the battery once per process (≈ once per Spark executor)."""
-    return tuple((spec, re.compile(spec.regex)) for spec in ALL_PATTERNS)
+    """Compile the battery once per process (≈ once per Spark executor).
+    Pattern STRINGS are the reference's verbatim; specs with a
+    ``first_rx`` compile with the zero-width first-char gate wrapped
+    around the unchanged regex (see ``_gated_regex``)."""
+    return tuple((spec, re.compile(_gated_regex(spec))) for spec in ALL_PATTERNS)
 
 
 @lru_cache(maxsize=1)

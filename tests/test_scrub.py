@@ -334,3 +334,36 @@ def test_pc_guard_soundness_adversarial():
 def test_pc_guard_soundness_fuzz(parts):
     doc = "".join(parts)
     assert _norm(detect(doc)) == _norm(oracle_detect(doc))
+
+
+def test_first_rx_gate_equivalence():
+    """Every ``first_rx``-gated pattern matches EXACTLY what its ungated
+    compile matches (the gate is a zero-width necessary condition): spans
+    compared on adversarial digit/upper soup, every guard corpus, and
+    deterministic fuzz."""
+    import random
+    import re as _re
+
+    from pii_detector_spark.patterns import ALL_PATTERNS, _gated_regex
+
+    gated_specs = [s for s in ALL_PATTERNS if s.first_rx]
+    assert gated_specs, "expected at least one first_rx-gated pattern"
+    rng = random.Random(1234)
+    corpora = list(_GUARD_ADVERSARIAL) + [
+        "A1", "zz A1b2C3d4E5F* yy", "123456 A-Z]]123", "9" * 20,
+        "AB*CDEFGHIJK", "A" * 12, " 4111-1111-1111-1111 ",
+        "H12345678 V123456 X12345678", "A123456R end", "12ABC34567",
+        "900-70-1234 123-45-6789 987 65 4321", "12345678901234567",
+    ] + [
+        "".join(
+            rng.choice(" aA0-.$#\n\t19zZ*]R457") for _ in range(90)
+        )
+        for _ in range(1500)
+    ]
+    for spec in gated_specs:
+        plain = _re.compile(spec.regex)
+        gated = _re.compile(_gated_regex(spec))
+        for doc in corpora:
+            m1 = [(m.start(), m.end(), m.group()) for m in plain.finditer(doc)]
+            m2 = [(m.start(), m.end(), m.group()) for m in gated.finditer(doc)]
+            assert m1 == m2, (spec.name, doc)
