@@ -301,15 +301,31 @@ def write_run_outputs(
     findings = findings_table(
         this_run.filter(F.col("findings").isNotNull()).select("url", "findings")
     ).withColumn("run_id", F.lit(run_id))
-    findings.write.mode("append").partitionBy("run_id").parquet(
-        findings_path
-    )
 
-    checkpoint.build_lineage(
-        this_run, pattern_version, run_id
-    ).write.mode("append").partitionBy("run_id").parquet(
-        checkpoint.lineage_path(output_dir)
-    )
+    # findings and lineage derive independently from the same columnar
+    # re-read and write to DIFFERENT tables: submit them from two driver
+    # threads so the second job's tasks back-fill executors freed by the
+    # first job's tail (guide §2.6 — actions are only sequential because
+    # driver code calls them sequentially). Failures propagate via
+    # .result(); the commit marker below still follows BOTH writes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_findings() -> None:
+        findings.write.mode("append").partitionBy("run_id").parquet(
+            findings_path
+        )
+
+    def _write_lineage() -> None:
+        checkpoint.build_lineage(
+            this_run, pattern_version, run_id
+        ).write.mode("append").partitionBy("run_id").parquet(
+            checkpoint.lineage_path(output_dir)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_findings), pool.submit(_write_lineage)]
+        for f in futs:
+            f.result()
 
     all_findings = spark.read.schema(findings.schema).parquet(
         findings_path
